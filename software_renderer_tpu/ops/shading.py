@@ -1,0 +1,125 @@
+"""Fragment shading: the pluggable ``fragment_shader`` seam.
+
+The reference's fragment stage is ``float4(vin.color, 1)`` — interpolated
+vertex colors, opaque alpha (renderer/Shaders.metal:116-121, and the CPU
+path's color interpolation at Renderer.swift:263-268). SURVEY.md calls this
+seam out as the extension point; the north star (BASELINE.json) adds Phong
+lighting and bilinear texturing, implemented here as whole-frame vectorized
+passes over the G-buffer produced by ops/resolve.py.
+
+All modes write alpha = 1 for covered pixels and leave uncovered pixels at
+the transparent-black clear color (Renderer.swift:205).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .resolve import barycentrics_at_pixels, interpolate_attribute
+from .texture import Texture, sample_texture
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Light:
+    """Directional light + Blinn-Phong material response."""
+
+    direction: jax.Array          # [3] direction the light travels (toward scene)
+    color: jax.Array              # [3]
+    ambient: jax.Array            # [3]
+    specular: jax.Array           # [3]
+    shininess: jax.Array          # [] float
+
+    @staticmethod
+    def default():
+        return Light(
+            direction=jnp.array([0.3, -0.5, 0.8], jnp.float32),
+            color=jnp.array([1.0, 1.0, 1.0], jnp.float32),
+            ambient=jnp.array([0.15, 0.15, 0.15], jnp.float32),
+            specular=jnp.array([0.5, 0.5, 0.5], jnp.float32),
+            shininess=jnp.float32(32.0),
+        )
+
+
+def _normalize(v, eps=1e-12):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1,
+                                                 keepdims=True), eps))
+
+
+def shade(setup, tri_id, tris, *, shading: str,
+          colors=None, normals=None, uvs=None,
+          light: Optional[Light] = None,
+          texture: Optional[Texture] = None,
+          flat_color=(1.0, 1.0, 1.0),
+          normal_matrix=None,
+          view_dir=(0.0, 0.0, -1.0)):
+    """Shade the frame from a visibility buffer.
+
+    Args:
+      setup: TriangleSetup.
+      tri_id: [H, W] int32 winning triangle ids.
+      tris: [T, 3] vertex indices (to gather per-vertex attributes).
+      shading: 'vertex' | 'flat' | 'phong' | 'textured'.
+      colors/normals/uvs: per-vertex attribute arrays ([N,3]/[N,3]/[N,2]).
+      light: required for 'phong' (and applied for 'textured' when given).
+      texture: required for 'textured'.
+      flat_color: RGB for 'flat'.
+      normal_matrix: optional [3,3] to take normals to lighting space.
+      view_dir: direction from the surface toward the viewer in lighting
+        space; the reference's implied camera sits at (0,0,-1) looking down
+        +z (3d.md, Renderer.swift:134-140), hence the (0,0,-1) default.
+
+    Returns: color [H, W, 4] float32.
+    """
+    ws, covered = barycentrics_at_pixels(setup, tri_id)
+
+    def interp(attr, k):
+        return interpolate_attribute(attr[tris], tri_id, ws, covered)
+
+    if shading == "vertex":
+        if colors is None:
+            raise ValueError("'vertex' shading requires per-vertex colors")
+        rgb = interp(colors, 3)
+    elif shading == "flat":
+        rgb = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32),
+                               tri_id.shape + (3,))
+    elif shading in ("phong", "textured"):
+        if shading == "textured":
+            if uvs is None or texture is None:
+                raise ValueError("'textured' shading requires uvs + texture")
+            uv = interp(uvs, 2)
+            base = sample_texture(texture, uv)[..., :3]
+            if colors is not None:
+                base = base * interp(colors, 3)
+        else:
+            if colors is not None:
+                base = interp(colors, 3)
+            else:
+                base = jnp.broadcast_to(
+                    jnp.asarray(flat_color, jnp.float32), tri_id.shape + (3,)
+                )
+        if light is not None and normals is not None:
+            n = interp(normals, 3)
+            if normal_matrix is not None:
+                n = n @ normal_matrix.T
+            n = _normalize(n)
+            l = -_normalize(jnp.asarray(light.direction, jnp.float32))
+            v = _normalize(jnp.asarray(view_dir, jnp.float32))
+            ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+            h = _normalize(l + v)
+            ndoth = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
+            spec = jnp.power(ndoth, light.shininess) * jnp.sign(ndotl)
+            rgb = (base * (light.ambient + light.color * ndotl)
+                   + light.specular * spec)
+        else:
+            rgb = base
+    else:
+        raise ValueError(f"unknown shading mode {shading!r}")
+
+    alpha = jnp.where(covered, 1.0, 0.0)
+    rgb = jnp.where(covered[..., None], rgb, 0.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -1,0 +1,142 @@
+"""RenderPass — the framework's central API — and the render orchestrator.
+
+Mirrors the reference's ``RenderPass`` (renderer/Renderer.swift:191-200):
+mesh + indices + primitive type + a single 4x4 transform in, framebuffer
+out. Extended per the north star with shading modes, lights, textures, and
+culling — all the knobs the reference hardcodes (SURVEY.md §5 config list).
+
+Two interchangeable backends consume the same RenderPass, exactly like the
+reference's CPU ``Renderer`` / ``GpuRenderer`` pair (App.swift:154 flips
+them):
+
+* ``reference`` — brute-force vectorized XLA (ops/rasterize_ref.py), the
+  always-correct golden model (analogue of Renderer.swift's CPU path).
+* ``pallas``    — tile-based Pallas visibility kernel (ops/rasterize_pallas
+  .py), the production path (analogue of GpuRenderer + Shaders.metal).
+
+Both produce a visibility buffer consumed by the shared deferred resolve;
+the whole frame is one jit-compiled XLA computation with zero host
+round-trips (unlike the reference's two mid-frame ``scheduleAndWait``
+blocks + per-primitive CPU dispatch loop, GpuRenderer.swift:73-138).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .framebuffer import Framebuffer, CLEAR_COLOR
+from .models.mesh import Mesh
+from .ops import lines as lines_ops
+from .ops.rasterize_ref import visibility_ref
+from .ops.setup import triangle_setup, TriangleSetup
+from .ops.shading import Light, shade
+from .ops.texture import Texture
+from .ops.vertex import vertex_stage
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderPass:
+    """One draw: scene state in, framebuffer out (Renderer.swift:191-200).
+
+    Dynamic leaves (traced): mesh, transform, light, texture, flat_color.
+    Static fields (compile-time): sizes, modes, flags.
+    """
+
+    mesh: Mesh
+    transform: jax.Array  # [4, 4] MVP (column-vector convention)
+
+    width: int = dataclasses.field(default=512, metadata=dict(static=True))
+    height: int = dataclasses.field(default=512, metadata=dict(static=True))
+    primitive: str = dataclasses.field(default="triangle",
+                                       metadata=dict(static=True))
+    shading: str = dataclasses.field(default="vertex",
+                                     metadata=dict(static=True))
+    cull_backfaces: bool = dataclasses.field(default=False,
+                                             metadata=dict(static=True))
+
+    light: Optional[Light] = None
+    texture: Optional[Texture] = None
+    flat_color: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.ones((3,), jnp.float32))
+    # Optional model matrix used only to rotate normals into lighting space
+    # for Phong (the reference has a single fused MVP and no lighting).
+    model: Optional[jax.Array] = None
+
+
+def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str):
+    if backend == "reference":
+        return visibility_ref(setup, width=rp.width, height=rp.height)
+    if backend == "pallas":
+        from .ops.rasterize_pallas import visibility_pallas
+        return visibility_pallas(setup, width=rp.width, height=rp.height)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def render_triangles(rp: RenderPass, backend: str) -> Framebuffer:
+    mesh = rp.mesh
+    screen, _w = vertex_stage(mesh.positions, rp.transform, rp.width,
+                              rp.height)
+    tris = mesh.triangles()
+    setup = triangle_setup(screen, tris, rp.width, rp.height,
+                           cull_backfaces=rp.cull_backfaces)
+    depth, tri_id = _visibility(setup, rp, backend)
+    normal_matrix = None
+    if rp.model is not None:
+        rot = rp.model[:3, :3]
+        normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
+    color = shade(
+        setup, tri_id, tris,
+        shading=rp.shading,
+        colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
+        light=rp.light, texture=rp.texture,
+        flat_color=rp.flat_color, normal_matrix=normal_matrix,
+    )
+    return Framebuffer(color=color, depth=depth)
+
+
+def render_lines(rp: RenderPass) -> Framebuffer:
+    mesh = rp.mesh
+    screen, _ = vertex_stage(mesh.positions, rp.transform, rp.width,
+                             rp.height)
+    color = jnp.broadcast_to(
+        jnp.asarray(CLEAR_COLOR, jnp.float32), (rp.height, rp.width, 4))
+    colors = mesh.colors if mesh.colors is not None else jnp.ones(
+        (mesh.num_vertices, 3), jnp.float32)
+    color = lines_ops.draw_lines(color, screen, mesh.lines(), colors)
+    depth = jnp.full((rp.height, rp.width), jnp.inf, jnp.float32)
+    return Framebuffer(color=color, depth=depth)
+
+
+def render_points(rp: RenderPass) -> Framebuffer:
+    mesh = rp.mesh
+    screen, _ = vertex_stage(mesh.positions, rp.transform, rp.width,
+                             rp.height)
+    color = jnp.broadcast_to(
+        jnp.asarray(CLEAR_COLOR, jnp.float32), (rp.height, rp.width, 4))
+    colors = mesh.colors if mesh.colors is not None else jnp.ones(
+        (mesh.num_vertices, 3), jnp.float32)
+    idx = mesh.indices
+    color = lines_ops.draw_points(color, screen[idx], colors[idx])
+    depth = jnp.full((rp.height, rp.width), jnp.inf, jnp.float32)
+    return Framebuffer(color=color, depth=depth)
+
+
+@partial(jax.jit, static_argnames=("backend",))
+def render(rp: RenderPass, backend: str = "pallas") -> Framebuffer:
+    """Render one frame. Fully jit-compiled; vmappable over rp leaves.
+
+    Dispatch by primitive type mirrors Renderer.swift:210-219.
+    """
+    if rp.primitive == "triangle":
+        return render_triangles(rp, backend)
+    if rp.primitive == "line":
+        return render_lines(rp)
+    if rp.primitive in ("point", "vertices"):
+        return render_points(rp)
+    raise ValueError(f"unknown primitive {rp.primitive!r}")

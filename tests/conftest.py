@@ -1,0 +1,14 @@
+"""Test config: CPU-only JAX with a virtual 8-device mesh.
+
+Must run before jax is imported anywhere (SURVEY.md §4: the reference has
+no tests; our strategy is numpy-oracle golden images + property tests +
+interpret-mode Pallas on CPU)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: never run tests over the tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
