@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: FPS / Mtri/s / p50 frame time on the north-star
+scene (BASELINE.json config 4: ~100k-triangle multi-mesh scene, Phong +
+bilinear textures, 1920x1080, one chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <FPS>, "unit": "fps", "vs_baseline": <value/60>}
+
+vs_baseline is against the 60 FPS north-star target (the reference
+publishes no numbers of its own — BASELINE.md).
+
+Flags (env):
+  BENCH_SCENE=config1|config2|config3|config4 (default config4)
+  BENCH_TRIS=<int>      triangle budget for config4 (default 100000)
+  BENCH_ITERS=<int>     timed frames (default 20)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from software_renderer_tpu.utils.timing import bench_frame, enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import software_renderer_tpu as sr  # noqa: E402
+from software_renderer_tpu.models import scenes  # noqa: E402
+from software_renderer_tpu.ops import transforms as tf  # noqa: E402
+
+
+def main():
+    scene_name = os.environ.get("BENCH_SCENE", "config4")
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    tris = int(os.environ.get("BENCH_TRIS", "100000"))
+
+    if scene_name == "config1":
+        rp = scenes.config1_flat_cube(0.0)
+    elif scene_name == "config2":
+        rp = scenes.config2_textured_cube(0.0)
+    elif scene_name == "config3":
+        rp = scenes.config3_phong_mesh(0.0)
+    else:
+        rp = scenes.config4_many_objects(0.0, triangles=tris)
+    n_tris = int(rp.mesh.indices.shape[0] // 3)
+
+    # Animated per-frame transforms (no two frames identical).
+    base_model_proj = rp.transform
+
+    def frame_transform(i):
+        t = jnp.float32(i) * (1.0 / 60.0)
+        q = tf.quat_from_axis_angle(
+            tf.normalize(jnp.array([1.0, 1.0, 0.0], jnp.float32)), t)
+        return base_model_proj @ tf.rotation_matrix(q)
+
+    def run(transform):
+        fb = sr.render(dataclasses.replace(rp, transform=transform),
+                       backend="pallas")
+        return fb.color
+
+    result = bench_frame(
+        run, lambda i: (frame_transform(i),),
+        name=f"{scene_name} {rp.width}x{rp.height} {n_tris} tris",
+        triangles=n_tris, warmup=2, iters=iters)
+    print(result, file=sys.stderr)
+
+    print(json.dumps({
+        "metric": (f"FPS at {rp.width}x{rp.height}, {n_tris}-triangle "
+                   f"textured/Phong scene ({scene_name}), single chip; "
+                   f"p50 {result.p50_ms:.3f} ms, {result.mtri_s:.1f} Mtri/s"),
+        "value": round(result.fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(result.fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,33 +154,47 @@ def torus(major_radius=0.3, minor_radius=0.12, segments_u=48,
 def many_objects_scene(target_triangles: int = 100_000, seed: int = 0,
                        extent: float = 1.6) -> Mesh:
     """A large multi-mesh scene (BASELINE.json config 4: ~100k triangles):
-    randomly placed, scaled, and colored spheres and boxes baked into one
-    struct-of-arrays mesh (single draw, single vertex matmul)."""
+    randomly placed, rotated, scaled, and tinted spheres/boxes/tori baked
+    into one struct-of-arrays mesh (single draw, single vertex matmul).
+
+    Instancing is done entirely in numpy at build time — like the
+    reference's global-scope mesh load (App.swift:124-134), scene
+    construction is a one-time host cost, never on the render path.
+    """
     rng = np.random.default_rng(seed)
     protos = [uv_sphere(radius=0.5, segments=10),
               box(size=1.0, face_colors=False),
               torus(major_radius=0.5, minor_radius=0.2,
                     segments_u=12, segments_v=8)]
-    import jax.numpy as jnp
-
-    parts = []
+    protos_np = [
+        (np.asarray(p.positions), np.asarray(p.normals),
+         np.asarray(p.colors), np.asarray(p.uvs), np.asarray(p.indices))
+        for p in protos
+    ]
+    positions, normals, colors, uvs, indices = [], [], [], [], []
     total = 0
+    offset = 0
     while total < target_triangles:
-        proto = protos[rng.integers(len(protos))]
-        ntris = proto.indices.shape[0] // 3
+        ppos, pnrm, pcol, puv, pidx = protos_np[rng.integers(len(protos))]
+        ntris = pidx.shape[0] // 3
         if total + ntris > target_triangles and total > 0:
             break
         scale = rng.uniform(0.03, 0.10)
-        pos = rng.uniform(-extent / 2, extent / 2, size=3)
-        pos[2] = rng.uniform(0.1, 0.9)  # keep in front of the camera
-        matrix = np.eye(4, dtype=np.float32)
-        # Random rotation via QR of a Gaussian matrix.
-        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
-        matrix[:3, :3] = q * scale
-        matrix[:3, 3] = pos
-        part = transform_mesh(proto, jnp.asarray(matrix))
-        tint = jnp.asarray(rng.uniform(0.3, 1.0, size=3), jnp.float32)
-        part.colors = part.colors * tint if part.colors is not None else None
-        parts.append(part)
+        center = rng.uniform(-extent / 2, extent / 2, size=3)
+        center[2] = rng.uniform(0.1, 0.9)  # keep in front of the camera
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))  # random rotation
+        tint = rng.uniform(0.3, 1.0, size=3).astype(np.float32)
+        positions.append(ppos @ (q.T * scale) + center)
+        normals.append(pnrm @ q.T)  # pure rotation: normals rotate with q
+        colors.append(pcol * tint)
+        uvs.append(puv)
+        indices.append(pidx + offset)
+        offset += ppos.shape[0]
         total += ntris
-    return merge_meshes(parts)
+    return mesh_from_numpy(
+        np.concatenate(positions).astype(np.float32),
+        np.concatenate(indices),
+        colors=np.concatenate(colors),
+        normals=np.concatenate(normals).astype(np.float32),
+        uvs=np.concatenate(uvs),
+    )

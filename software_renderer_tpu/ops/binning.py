@@ -1,0 +1,279 @@
+"""Tile binning: per-tile triangle lists built on-device, and the binned
+visibility kernel.
+
+This is the TPU-native answer to the reference's ROI architecture. The
+reference computes per-triangle ROIs on the GPU, then *reads them back to
+the CPU* and issues one rasterize dispatch per triangle over its ROI
+(GpuRenderer.swift:87-138 — the mid-frame host sync SURVEY.md §3.2 flags).
+Here the inverse mapping (tile -> triangles) is built entirely on-device
+with one stable sort, and the raster kernel walks each tile's own triangle
+list — work is O(sum of bbox-tile overlaps), not O(tiles x triangles),
+with zero host round-trips.
+
+Pipeline (all inside one jit):
+ 1. expansion  — each triangle emits up to KMAX (tile, tri) pairs from its
+    bbox tile span; triangles spanning more tiles go to the *overflow*
+    list (processed by the bbox-tested unbinned kernel and merged with a
+    lexicographic (depth, id) rule — identical to the reference's
+    first-drawn-wins tie semantics, but order-independent).
+ 2. argsort    — pairs sorted by tile id (stable, so each tile's list stays
+    in ascending triangle order = reference encoder order).
+ 3. layout     — each tile's segment is padded to a CHUNK multiple and laid
+    out densely; every tile owns >= 1 chunk so every output tile is
+    initialized. A scalar-prefetched chunk->tile map drives the kernel's
+    output BlockSpec (the grouped/"megablox" pattern): consecutive chunks
+    of one tile revisit the same VMEM block, so the z/id buffers stay
+    on-chip across the whole list.
+ 4. kernel     — 1D grid over chunks; same exact edge/depth math as
+    ops/rasterize_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterize_pallas import (
+    CHUNK, REC_WIDTH, TILE_H, TILE_W, _poison_row, default_interpret,
+    pack_records, visibility_pallas_merge,
+)
+from .rasterize_ref import pixel_centers
+from .setup import TriangleSetup
+
+KMAX = 8             # max tiles per triangle in the binned stream
+OVERFLOW_CAP = 1024  # max huge triangles (spanning > KMAX tiles) per frame
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BinnedStream:
+    """Chunk-aligned per-tile triangle stream + overflow list."""
+
+    rec: jax.Array          # [cap, REC_WIDTH] f32 records in bin order
+    ids: jax.Array          # [cap] i32 global triangle ids (-1 = inert)
+    chunk_tile: jax.Array   # [cap//chunk] i32 tile id per chunk
+    first_flag: jax.Array   # [cap//chunk] i32 1 = first chunk of its tile
+    overflow_rec: jax.Array  # [OVERFLOW_CAP, REC_WIDTH]
+    overflow_ids: jax.Array  # [OVERFLOW_CAP] i32
+    n_overflow: jax.Array    # [] i32 (> OVERFLOW_CAP => dropped triangles,
+    #                            surfaced as a diagnostic)
+
+
+def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
+               y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
+               chunk: int = CHUNK, kmax: int = KMAX,
+               overflow_cap: int = OVERFLOW_CAP) -> BinnedStream:
+    """Build per-tile triangle lists from triangle bboxes. rec = packed
+    records (pack_records(setup), unpadded prefix rows used)."""
+    t = setup.num_triangles
+    gh = -(-height // tile_h)
+    gw = -(-width // tile_w)
+    ntiles = gh * gw
+
+    bbox = setup.bbox  # [T, 4] x0 y0 x1 y1, clamped to the full viewport
+    y0g = jnp.asarray(y_start, jnp.int32)
+    # Tile span in this slice's tile grid (global rows shifted by y_start).
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 2] // tile_w
+    ty0 = jnp.clip((bbox[:, 1] - y0g) // tile_h, 0, gh - 1)
+    ty1 = jnp.clip((bbox[:, 3] - y0g) // tile_h, 0, gh - 1)
+    in_slice = (bbox[:, 3] >= y0g) & (bbox[:, 1] < y0g + gh * tile_h)
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    nspan = span_w * span_h
+    valid = setup.valid & in_slice
+    overflow = valid & (nspan > kmax)
+    binned = valid & ~overflow
+
+    # 1. Expansion: pair k of triangle t covers tile (ty0 + k // span_w,
+    #    tx0 + k % span_w).
+    k = jnp.arange(kmax, dtype=jnp.int32)
+    dx = k[None, :] % span_w[:, None]
+    dy = k[None, :] // span_w[:, None]
+    tile = (ty0[:, None] + dy) * gw + (tx0[:, None] + dx)  # [T, kmax]
+    pair_valid = binned[:, None] & (k[None, :] < nspan[:, None])
+    keys = jnp.where(pair_valid, tile, ntiles).reshape(-1)  # [T*kmax]
+
+    # 2. Stable sort by tile; invalid pairs (key = ntiles) go to the end.
+    order = jnp.argsort(keys, stable=True)
+    sorted_keys = keys[order]
+    sorted_tri = (order // kmax).astype(jnp.int32)
+
+    # 3. Dense chunk-aligned layout.
+    tile_range = jnp.arange(ntiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_keys, tile_range, side="left")
+    ends = jnp.searchsorted(sorted_keys, tile_range, side="right")
+    counts = (ends - starts).astype(jnp.int32)
+    pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
+    pad_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
+
+    cap = (-(-(t * kmax) // chunk)) * chunk + ntiles * chunk
+    j = jnp.arange(t * kmax, dtype=jnp.int32)
+    key_j = sorted_keys
+    in_range = key_j < ntiles
+    key_c = jnp.clip(key_j, 0, ntiles - 1)
+    dst = jnp.where(in_range, pad_starts[key_c] + (j - starts[key_c]), cap)
+    ids = jnp.full((cap,), -1, jnp.int32).at[dst].set(sorted_tri,
+                                                      mode="drop")
+
+    # Chunk -> tile map + first-chunk flags (scalar prefetch for the
+    # kernel's output BlockSpec). Tail chunks (beyond the last used one)
+    # resolve to the last tile with flag 0: no DMA switch, no compute.
+    n_chunks = cap // chunk
+    cc = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk_starts = pad_starts // chunk
+    chunk_tile = (jnp.searchsorted(chunk_starts, cc, side="right") - 1
+                  ).astype(jnp.int32)
+    first_flag = (cc == chunk_starts[jnp.clip(chunk_tile, 0, ntiles - 1)]
+                  ).astype(jnp.int32)
+
+    # Gather records into bin order ([cap, REC_WIDTH]); -1 -> poison.
+    rec_binned = jnp.where(
+        (ids >= 0)[:, None],
+        rec[jnp.clip(ids, 0, rec.shape[0] - 1)],
+        _poison_row()[None, :],
+    )
+
+    # Overflow list: huge triangles, ascending id (reference draw order).
+    # Fixed chunk-aligned length regardless of T.
+    ov_len = -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
+    ov_key = jnp.where(overflow, jnp.arange(t, dtype=jnp.int32), t)
+    ov_sorted = jnp.full((ov_len,), t, jnp.int32).at[
+        : min(t, ov_len)].set(jnp.sort(ov_key)[: min(t, ov_len)])
+    ov_ids = jnp.where(ov_sorted < t, ov_sorted, -1)
+    ov_rec = jnp.where(
+        (ov_ids >= 0)[:, None],
+        rec[jnp.clip(ov_ids, 0, rec.shape[0] - 1)],
+        _poison_row()[None, :],
+    )
+    return BinnedStream(
+        rec=rec_binned, ids=ids, chunk_tile=chunk_tile,
+        first_flag=first_flag, overflow_rec=ov_rec, overflow_ids=ov_ids,
+        n_overflow=jnp.sum(overflow.astype(jnp.int32)),
+    )
+
+
+def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
+                   z_ref, id_ref, *, tile_h, tile_w, chunk, gw):
+    """One grid step = one chunk of one tile's triangle list."""
+    cc = pl.program_id(0)
+
+    @pl.when(ff_ref[cc] == 1)
+    def _init():
+        z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+        id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    tile = ct_ref[cc]
+    x0f = ((tile % gw) * tile_w).astype(jnp.float32)
+    y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          .astype(jnp.float32) + (x0f + 0.5))
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          .astype(jnp.float32) + (y0f + 0.5))
+
+    def body(k, carry):
+        zbuf, idbuf = carry
+        tri = rec_ref[k, 14].astype(jnp.int32)
+
+        def rasterize(zbuf, idbuf):
+            # Same exact math as rasterize_pallas._visibility_kernel; the
+            # bbox test is unnecessary — bin membership == bbox overlap.
+            e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
+            e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
+            e2 = rec_ref[k, 6] - e0 - e1
+            inside = jnp.logical_and(
+                jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
+            depth = (rec_ref[k, 7] * xs + rec_ref[k, 8] * ys
+                     + rec_ref[k, 9])
+            cand = jnp.where(inside, depth, jnp.inf)
+            better = cand < zbuf  # ascending-id order => first wins ties
+            return (jnp.where(better, cand, zbuf),
+                    jnp.where(better, tri, idbuf))
+
+        return jax.lax.cond(tri >= 0, rasterize, lambda z, i: (z, i),
+                            zbuf, idbuf)
+
+    zbuf, idbuf = jax.lax.fori_loop(0, chunk, body, (z_ref[:], id_ref[:]))
+    z_ref[:] = zbuf
+    id_ref[:] = idbuf
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "chunk", "kmax", "overflow_cap",
+                                    "interpret"))
+def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
+                      y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      chunk: int = CHUNK, kmax: int = KMAX,
+                      overflow_cap: int = OVERFLOW_CAP,
+                      interpret: bool | None = None):
+    """Binned visibility pass. Same contract as visibility_ref /
+    visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
+    if interpret is None:
+        interpret = default_interpret()
+    rec = pack_records(setup, chunk)
+    stream = build_bins(setup, rec, width=width, height=height,
+                        y_start=y_start, tile_h=tile_h, tile_w=tile_w,
+                        chunk=chunk, kmax=kmax, overflow_cap=overflow_cap)
+
+    pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
+    gh, gw = (height + pad_h) // tile_h, (width + pad_w) // tile_w
+    n_chunks = stream.rec.shape[0] // chunk
+
+    kernel = functools.partial(_binned_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=chunk, gw=gw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # chunk_tile, first_flag, y_offset
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, REC_WIDTH),
+                         lambda cc, ct, ff, yo: (cc, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    depth, tri_id = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                 jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(stream.chunk_tile, stream.first_flag,
+      jnp.asarray(y_start, jnp.int32).reshape(1), stream.rec)
+    if pad_h or pad_w:
+        depth = depth[:height, :width]
+        tri_id = tri_id[:height, :width]
+
+    # Overflow pass: only taken when huge triangles exist.
+    def with_overflow(args):
+        depth, tri_id = args
+        return visibility_pallas_merge(
+            stream.overflow_rec, depth, tri_id,
+            width=width, height=height, y_start=y_start,
+            tile_h=tile_h, tile_w=tile_w, chunk=chunk, lex_tie=True,
+            interpret=interpret)
+
+    depth, tri_id = jax.lax.cond(
+        stream.n_overflow > 0, with_overflow, lambda args: args,
+        (depth, tri_id))
+    return depth, tri_id

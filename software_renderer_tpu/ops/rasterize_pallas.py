@@ -47,56 +47,94 @@ TILE_H = 32
 TILE_W = 128
 # Triangles per setup-record block.
 CHUNK = 32
-# Record layout (REC_WIDTH f32 lanes per triangle):
-# 0:3  a0 a1 a2   (x coefficients of the 3 sign-folded edges)
-# 3:6  b0 b1 b2   (y coefficients)
-# 6:9  c0 c1 c2   (constants)
-# 9:12 za zb zc   (depth plane)
-# 12:16 x0 y0 x1 y1 (bbox, inclusive, as float)
+# Record layout (REC_WIDTH f32 lanes per triangle). Only edges e0/e1 are
+# stored; e2 = |D| - e0 - e1 is reconstructed exactly in-kernel (all values
+# are integer-scaled and < 2^23, so the subtraction is exact — see
+# ops/setup.py numerics note).
+# 0:2   a0 a1      (x coefficients of sign-folded edges 0, 1)
+# 2:4   b0 b1      (y coefficients)
+# 4:6   c0 c1      (constants)
+# 6     Dabs       (|2*area| = e0 + e1 + e2)
+# 7:10  za zb zc   (depth plane)
+# 10:14 x0 y0 x1 y1 (bbox, inclusive, as float)
+# 14    global triangle id as float (exact below 2^24; -1 = inert)
+# 15    reserved
 REC_WIDTH = 16
+
+
+def _poison_row():
+    """A record that covers nothing and loses every depth test."""
+    row = jnp.zeros((REC_WIDTH,), jnp.float32)
+    row = row.at[4:6].set(-1.0)     # c0 = c1 = -1 -> e0, e1 < 0 everywhere
+    row = row.at[9].set(jnp.inf)    # zc = +inf
+    row = row.at[10:12].set(1.0)    # empty bbox: x0=y0=1 > x1=y1=0
+    row = row.at[14].set(-1.0)      # id = -1 (NO_TRIANGLE)
+    return row
 
 
 def pack_records(setup: TriangleSetup, chunk: int = CHUNK) -> jax.Array:
     """Pack TriangleSetup into [T_pad, REC_WIDTH] f32 raster records,
     padded to a chunk multiple with never-covering entries."""
     t = setup.num_triangles
+    abs_d = jnp.abs(setup.area2) * setup.valid  # poisoned rows get 0
     rec = jnp.concatenate(
         [
-            setup.coef[:, 0, :],          # a0 a1 a2
-            setup.coef[:, 1, :],          # b0 b1 b2
-            setup.coef[:, 2, :],          # c0 c1 c2
+            setup.coef[:, 0, 0:2],        # a0 a1
+            setup.coef[:, 1, 0:2],        # b0 b1
+            setup.coef[:, 2, 0:2],        # c0 c1
+            abs_d[:, None],               # |D|
             setup.zplane,                 # za zb zc
             setup.bbox.astype(jnp.float32),
+            jnp.arange(t, dtype=jnp.float32)[:, None],  # global id
+            jnp.zeros((t, 1), jnp.float32),
         ],
         axis=-1,
     )
+    # Re-poison invalid triangles (setup zeroes their coef; a fully-zero
+    # record would read "inside" since e2 = 0 - 0 - 0 = 0 >= 0).
+    rec = jnp.where(setup.valid[:, None], rec, _poison_row())
     pad = (-t) % chunk
     if pad or t == 0:
-        filler = jnp.zeros((max(pad, chunk if t == 0 else pad), REC_WIDTH),
-                           jnp.float32)
-        # Poison: c = -1 (outside everywhere), depth = +inf, empty bbox.
-        filler = filler.at[:, 6:9].set(-1.0)
-        filler = filler.at[:, 11].set(jnp.inf)
-        filler = filler.at[:, 12:14].set(1.0)  # x0=y0=1 > x1=y1=0
-        rec = jnp.concatenate([rec, filler], axis=0)
+        n_fill = max(pad, chunk if t == 0 else pad)
+        rec = jnp.concatenate(
+            [rec, jnp.tile(_poison_row()[None], (n_fill, 1))], axis=0)
     return rec
 
 
-def _visibility_kernel(rec_ref, z_ref, id_ref, *, tile_h, tile_w, chunk):
+def _visibility_kernel(yoff_ref, rec_ref, *rest, tile_h, tile_w,
+                       chunk, merge, lex_tie):
     """rec_ref lives in SMEM: per-triangle scalars are read with dynamic
-    indices (native scalar loads), then broadcast into tile-wide VPU ops."""
+    indices (native scalar loads), then broadcast into tile-wide VPU ops.
+    yoff_ref (SMEM scalar) puts tiles at global frame rows, making
+    row-sharded rendering bitwise identical to the full frame.
+
+    merge=False: rest = (z_ref, id_ref); buffers are cleared at chunk 0.
+    merge=True:  rest = (z_in_ref, id_in_ref, z_ref, id_ref); chunk 0 seeds
+    from an existing visibility buffer (the overflow pass,
+    ops/binning.py). lex_tie selects lexicographic (depth, id) tie-break —
+    order-independent and equal to the reference's first-drawn-wins rule.
+    """
+    if merge:
+        z_in_ref, id_in_ref, z_ref, id_ref = rest
+    else:
+        z_ref, id_ref = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     c = pl.program_id(2)
 
     @pl.when(c == 0)
     def _init():
-        z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
-        id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)  # NO_TRIANGLE
+        if merge:
+            z_ref[:] = z_in_ref[:]
+            id_ref[:] = id_in_ref[:]
+        else:
+            z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+            id_ref[:] = jnp.full((tile_h, tile_w), -1,
+                                 jnp.int32)  # NO_TRIANGLE
 
     # Pixel-center coordinates of this tile (Shaders.metal:133 semantics).
     x0f = (tx * tile_w).astype(jnp.float32)
-    y0f = (ty * tile_h).astype(jnp.float32)
+    y0f = (ty * tile_h + yoff_ref[0]).astype(jnp.float32)
     xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           .astype(jnp.float32) + (x0f + 0.5))
     ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -107,23 +145,29 @@ def _visibility_kernel(rec_ref, z_ref, id_ref, *, tile_h, tile_w, chunk):
         # bbox-vs-tile rejection (the ROI idea of Shaders.metal:89-114,
         # evaluated on-device per tile instead of via host readback).
         overlap = jnp.logical_and(
-            jnp.logical_and(rec_ref[k, 14] >= x0f,
-                            rec_ref[k, 12] < x0f + tile_w),
-            jnp.logical_and(rec_ref[k, 15] >= y0f,
-                            rec_ref[k, 13] < y0f + tile_h),
+            jnp.logical_and(rec_ref[k, 12] >= x0f,
+                            rec_ref[k, 10] < x0f + tile_w),
+            jnp.logical_and(rec_ref[k, 13] >= y0f,
+                            rec_ref[k, 11] < y0f + tile_h),
         )
 
         def rasterize(zbuf, idbuf):
-            e0 = rec_ref[k, 0] * xs + rec_ref[k, 3] * ys + rec_ref[k, 6]
-            e1 = rec_ref[k, 1] * xs + rec_ref[k, 4] * ys + rec_ref[k, 7]
-            e2 = rec_ref[k, 2] * xs + rec_ref[k, 5] * ys + rec_ref[k, 8]
+            e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
+            e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
+            e2 = rec_ref[k, 6] - e0 - e1  # exact (integer-scaled values)
             inside = jnp.logical_and(
                 jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
-            depth = (rec_ref[k, 9] * xs + rec_ref[k, 10] * ys
-                     + rec_ref[k, 11])
+            depth = (rec_ref[k, 7] * xs + rec_ref[k, 8] * ys
+                     + rec_ref[k, 9])
             cand = jnp.where(inside, depth, jnp.inf)
-            better = cand < zbuf  # strict: first triangle wins ties
-            tri = c * chunk + k
+            tri = rec_ref[k, 14].astype(jnp.int32)
+            if lex_tie:
+                better = jnp.logical_or(
+                    cand < zbuf,
+                    jnp.logical_and(cand == zbuf,
+                                    jnp.logical_and(inside, tri < idbuf)))
+            else:
+                better = cand < zbuf  # strict: first triangle wins ties
             return (jnp.where(better, cand, zbuf),
                     jnp.where(better, tri, idbuf))
 
@@ -136,42 +180,54 @@ def _visibility_kernel(rec_ref, z_ref, id_ref, *, tile_h, tile_w, chunk):
     id_ref[:] = idbuf
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "chunk", "interpret"))
-def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
-                      tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = CHUNK, interpret: bool | None = None):
-    """Tile-rasterized visibility buffer.
+def default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
-    Returns (depth [H, W] f32, tri_id [H, W] i32) — same contract as
-    ops/rasterize_ref.visibility_ref (golden-tested equal).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    rec = pack_records(setup, chunk)
-    t_pad = rec.shape[0]
-    n_chunks = t_pad // chunk
+
+def _pad_hw(height, width, tile_h, tile_w):
     pad_h = (-height) % tile_h
     pad_w = (-width) % tile_w
-    gh = (height + pad_h) // tile_h
-    gw = (width + pad_w) // tile_w
+    return pad_h, pad_w, (height + pad_h) // tile_h, (width + pad_w) // tile_w
+
+
+def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
+                            height: int, y_start=0,
+                            tile_h: int = TILE_H, tile_w: int = TILE_W,
+                            chunk: int = CHUNK, lex_tie: bool = True,
+                            interpret: bool | None = None):
+    """Rasterize a record stream *into* an existing visibility buffer
+    (the overflow pass of the binned pipeline, ops/binning.py).
+
+    rec: [T_pad, REC_WIDTH] records (col 14 carries global ids; -1
+    entries are inert); z_in/id_in: [H, W] buffers to merge into.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    t_pad = rec.shape[0]
+    n_chunks = t_pad // chunk
+    pad_h, pad_w, gh, gw = _pad_hw(height, width, tile_h, tile_w)
+    if pad_h or pad_w:
+        z_in = jnp.pad(z_in, ((0, pad_h), (0, pad_w)),
+                       constant_values=jnp.inf)
+        id_in = jnp.pad(id_in, ((0, pad_h), (0, pad_w)),
+                        constant_values=-1)
 
     kernel = functools.partial(_visibility_kernel, tile_h=tile_h,
-                               tile_w=tile_w, chunk=chunk)
+                               tile_w=tile_w, chunk=chunk, merge=True,
+                               lex_tie=lex_tie)
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx),
+                             memory_space=pltpu.VMEM)
     depth, tri_id = pl.pallas_call(
         kernel,
         grid=(gh, gw, n_chunks),
         in_specs=[
+            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
                          memory_space=pltpu.SMEM),
+            tile_spec, tile_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(tile_spec, tile_spec),
         out_shape=(
             jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
                                  jnp.float32),
@@ -182,7 +238,60 @@ def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(rec)
+    )(jnp.asarray(y_start, jnp.int32).reshape(1), rec, z_in, id_in)
+    if pad_h or pad_w:
+        depth = depth[:height, :width]
+        tri_id = tri_id[:height, :width]
+    return depth, tri_id
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "chunk", "interpret"))
+def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
+                      y_start=0,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      chunk: int = CHUNK, interpret: bool | None = None):
+    """Tile-rasterized visibility buffer (unbinned: every tile walks every
+    triangle chunk with bbox rejection — right for small/medium scenes;
+    ops/binning.py removes the O(tiles x triangles) term for large ones).
+
+    Returns (depth [H, W] f32, tri_id [H, W] i32) — same contract as
+    ops/rasterize_ref.visibility_ref (golden-tested equal).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    rec = pack_records(setup, chunk)
+    t_pad = rec.shape[0]
+    n_chunks = t_pad // chunk
+    pad_h, pad_w, gh, gw = _pad_hw(height, width, tile_h, tile_w)
+
+    kernel = functools.partial(_visibility_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=chunk, merge=False,
+                               lex_tie=False)
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx),
+                             memory_space=pltpu.VMEM)
+    depth, tri_id = pl.pallas_call(
+        kernel,
+        grid=(gh, gw, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                 jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(y_start, jnp.int32).reshape(1), rec)
     if pad_h or pad_w:
         depth = depth[:height, :width]
         tri_id = tri_id[:height, :width]

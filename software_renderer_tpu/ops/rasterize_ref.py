@@ -30,17 +30,20 @@ from ..framebuffer import NO_TRIANGLE
 from .setup import TriangleSetup
 
 
-def pixel_centers(width, height, dtype=jnp.float32):
+def pixel_centers(width, height, y_start=0, dtype=jnp.float32):
     """Pixel-center sampling grid: (x + 0.5, y + 0.5) — Shaders.metal:133,
-    Renderer.swift:252."""
+    Renderer.swift:252. ``y_start`` (may be traced) offsets the rows into
+    global frame coordinates, so a row-sharded render computes *bitwise*
+    the same values as the full frame (parallel/sharding.py)."""
     xs = jnp.arange(width, dtype=dtype) + 0.5
-    ys = jnp.arange(height, dtype=dtype) + 0.5
+    ys = (jnp.arange(height, dtype=dtype) + jnp.asarray(y_start, dtype)
+          + 0.5)
     return xs[None, :], ys[:, None]  # broadcastable [1,W], [H,1]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk"))
 def visibility_ref(setup: TriangleSetup, *, width: int, height: int,
-                   chunk: int = 8):
+                   y_start=0, chunk: int = 8):
     """Brute-force visibility buffer.
 
     Returns:
@@ -58,7 +61,7 @@ def visibility_ref(setup: TriangleSetup, *, width: int, height: int,
     zplane = jnp.pad(setup.zplane, ((0, pad), (0, 0)),
                      constant_values=jnp.inf)
 
-    xs, ys = pixel_centers(width, height)
+    xs, ys = pixel_centers(width, height, y_start)
     n_chunks = coef.shape[0] // chunk
     coef_c = coef.reshape(n_chunks, chunk, 3, 3)
     zplane_c = zplane.reshape(n_chunks, chunk, 3)

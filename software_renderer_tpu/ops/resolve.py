@@ -23,12 +23,13 @@ from .rasterize_ref import pixel_centers
 from .setup import TriangleSetup
 
 
-def barycentrics_at_pixels(setup: TriangleSetup, tri_id):
+def barycentrics_at_pixels(setup: TriangleSetup, tri_id, y_start=0):
     """Per-pixel normalized barycentric weights for the winning triangle.
 
     Args:
       setup: triangle setup.
       tri_id: [H, W] int32 winning triangle per pixel (NO_TRIANGLE = none).
+      y_start: global row offset of this slice (row sharding).
 
     Returns:
       ws: [H, W, 3] float32 — weights (garbage where uncovered; callers
@@ -40,7 +41,7 @@ def barycentrics_at_pixels(setup: TriangleSetup, tri_id):
     tid = jnp.where(covered, tri_id, 0)
     coef = setup.coef[tid]            # [H, W, 3, 3]
     inv_area = setup.inv_area[tid]    # [H, W]
-    xs, ys = pixel_centers(w, h)
+    xs, ys = pixel_centers(w, h, y_start)
     e = (xs[..., None] * coef[..., 0, :]
          + ys[..., None] * coef[..., 1, :]
          + coef[..., 2, :])           # [H, W, 3]

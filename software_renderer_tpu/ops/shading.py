@@ -56,7 +56,8 @@ def shade(setup, tri_id, tris, *, shading: str,
           texture: Optional[Texture] = None,
           flat_color=(1.0, 1.0, 1.0),
           normal_matrix=None,
-          view_dir=(0.0, 0.0, -1.0)):
+          view_dir=(0.0, 0.0, -1.0),
+          y_start=0):
     """Shade the frame from a visibility buffer.
 
     Args:
@@ -75,7 +76,7 @@ def shade(setup, tri_id, tris, *, shading: str,
 
     Returns: color [H, W, 4] float32.
     """
-    ws, covered = barycentrics_at_pixels(setup, tri_id)
+    ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
 
     def interp(attr, k):
         return interpolate_attribute(attr[tris], tri_id, ws, covered)

@@ -1,0 +1,43 @@
+"""Frame batching: vmap the whole frame function.
+
+BASELINE.json config 5: "Batched render: vmap over 64 animated frames".
+The reference renders one frame per vsync on one device (App.swift:75-107);
+here the entire pipeline — vertex matmul, setup, Pallas visibility kernel,
+resolve, shading — is a pure function of the RenderPass pytree, so a batch
+of frames is literally ``jax.vmap(render)``. The Pallas kernel batches via
+its vmap rule (the batch axis becomes an extra grid dimension).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..framebuffer import Framebuffer
+from ..render import RenderPass, render
+
+
+@partial(jax.jit, static_argnames=("backend",))
+def render_batch(rp: RenderPass, transforms, backend: str = "pallas"
+                 ) -> Framebuffer:
+    """Render B frames of the same scene under B transforms.
+
+    Args:
+      rp: scene RenderPass (its ``transform`` is ignored).
+      transforms: [B, 4, 4] per-frame MVP matrices.
+
+    Returns a Framebuffer with leading batch dim: color [B, H, W, 4],
+    depth [B, H, W].
+    """
+    def one(t):
+        return render(dataclasses.replace(rp, transform=t), backend=backend)
+
+    return jax.vmap(one)(jnp.asarray(transforms, jnp.float32))
+
+
+def animation_transforms(scene_transform_fn, times):
+    """[B] times -> [B, 4, 4] via a time-parametrized transform fn."""
+    return jax.vmap(scene_transform_fn)(jnp.asarray(times, jnp.float32))

@@ -1,0 +1,126 @@
+"""Multi-device execution: frame-parallel x row-parallel shard_map.
+
+The reference is strictly single-device (SURVEY.md §2 checklist). The
+TPU-native scaling story for a rasterizer:
+
+* **frames axis (dp analogue)** — independent frames are embarrassingly
+  parallel: shard the batch of per-frame transforms, replicate the scene.
+* **rows axis (sp/tp analogue)** — a single frame splits by screen rows:
+  every device rasterizes all triangles into its own row slice (an exact
+  viewport shift, render.py:render_rows), producing the framebuffer
+  already sharded across devices. No communication inside a frame.
+* Collectives appear only in the *training* step (texture/appearance
+  optimization): gradients are ``psum``-ed over the mesh, the one place
+  data crosses ICI.
+
+``dryrun_multichip`` in __graft_entry__.py runs this on a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..framebuffer import Framebuffer
+from ..ops.texture import Texture
+from ..render import RenderPass, render_rows
+
+
+def make_mesh(n_frames: int, n_rows: int, devices=None) -> Mesh:
+    """A (frames, rows) device mesh. frames*rows must equal #devices."""
+    devices = jax.devices() if devices is None else devices
+    assert n_frames * n_rows == len(devices), (
+        f"mesh {n_frames}x{n_rows} != {len(devices)} devices")
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(n_frames, n_rows),
+                ("frames", "rows"))
+
+
+def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
+                  backend: str):
+    """Render this shard's frames' row slice. Runs inside shard_map."""
+    y0 = jax.lax.axis_index("rows") * rows_per_shard
+
+    def one(t):
+        fb = render_rows(dataclasses.replace(rp, transform=t),
+                         y_start=y0, rows=rows_per_shard, backend=backend)
+        return fb.color, fb.depth
+
+    return jax.vmap(one)(transforms_local)
+
+
+def render_sharded(rp: RenderPass, transforms, mesh: Mesh,
+                   backend: str = "pallas") -> Framebuffer:
+    """Render [B] frames over a (frames, rows) mesh.
+
+    transforms: [B, 4, 4], B divisible by mesh 'frames'; rp.height
+    divisible by mesh 'rows'. Returns a Framebuffer whose color/depth are
+    globally [B, H, W, 4]/[B, H, W], sharded over (frames, rows).
+    """
+    n_rows = mesh.shape["rows"]
+    assert rp.height % n_rows == 0, "height must divide over the rows axis"
+    rows_per = rp.height // n_rows
+
+    fn = shard_map(
+        partial(_local_render, rp, rows_per_shard=rows_per, backend=backend),
+        mesh=mesh,
+        in_specs=(P("frames"),),
+        out_specs=(P("frames", "rows"), P("frames", "rows")),
+        check_vma=False,
+    )
+    color, depth = jax.jit(fn)(jnp.asarray(transforms, jnp.float32))
+    return Framebuffer(color=color, depth=depth)
+
+
+# ---------------------------------------------------------------------------
+# Appearance-optimization training step (the framework's "training" story):
+# fit texture texels so rendered frames match target images. Demonstrates
+# autodiff through resolve/shading and the dp-style psum of gradients.
+# ---------------------------------------------------------------------------
+
+def texture_train_step(tex_data, rp: RenderPass, transforms, targets,
+                       mesh: Mesh, lr: float = 0.5,
+                       backend: str = "reference"):
+    """One SGD step on texture texels over a (frames, rows) mesh.
+
+    Args:
+      tex_data: [Th, Tw, 3] float32 texels (replicated).
+      rp: scene with shading='textured'.
+      transforms: [B, 4, 4] sharded over 'frames'.
+      targets: [B, H, W, 4] target frames, sharded over (frames, rows).
+
+    Returns (new_tex_data, loss). Gradients are psum-ed across the whole
+    mesh — the only collective in the framework's hot loops.
+    """
+    n_rows = mesh.shape["rows"]
+    rows_per = rp.height // n_rows
+    b_global = transforms.shape[0]
+
+    def shard_fn(tex, transforms_local, targets_local):
+        def loss_fn(tex):
+            rp_tex = dataclasses.replace(rp, texture=Texture(data=tex))
+            color, _ = _local_render(rp_tex, transforms_local, rows_per,
+                                     backend)
+            # Local sum of squared error; global mean via psum.
+            err = color - targets_local
+            return jnp.sum(err * err)
+
+        loss, grad = jax.value_and_grad(loss_fn)(tex)
+        denom = b_global * rp.height * rp.width * 4
+        loss = jax.lax.psum(loss, ("frames", "rows")) / denom
+        grad = jax.lax.psum(grad, ("frames", "rows")) / denom
+        return tex - lr * grad, loss
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("frames"), P("frames", "rows")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(tex_data, jnp.asarray(transforms, jnp.float32),
+                       targets)

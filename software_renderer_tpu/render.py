@@ -69,23 +69,60 @@ class RenderPass:
     model: Optional[jax.Array] = None
 
 
-def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str):
+# Unbinned kernel: every tile scans all triangle chunks (bbox-rejected).
+# Binned kernel: per-tile lists, O(overlap pairs). Crossover ~1-2k tris.
+AUTO_BIN_THRESHOLD = 1024
+
+
+def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str,
+                y_start=0):
+    if backend == "auto":
+        backend = ("binned" if setup.num_triangles >= AUTO_BIN_THRESHOLD
+                   else "pallas")
     if backend == "reference":
-        return visibility_ref(setup, width=rp.width, height=rp.height)
+        return visibility_ref(setup, width=rp.width, height=rp.height,
+                              y_start=y_start)
     if backend == "pallas":
         from .ops.rasterize_pallas import visibility_pallas
-        return visibility_pallas(setup, width=rp.width, height=rp.height)
+        return visibility_pallas(setup, width=rp.width, height=rp.height,
+                                 y_start=y_start)
+    if backend == "binned":
+        from .ops.binning import visibility_binned
+        return visibility_binned(setup, width=rp.width, height=rp.height,
+                                 y_start=y_start)
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def render_triangles(rp: RenderPass, backend: str) -> Framebuffer:
+def render_triangles(rp: RenderPass, backend: str,
+                     y_start=None, rows: Optional[int] = None) -> Framebuffer:
+    """Render the triangle path; optionally only rows [y_start, y_start+rows).
+
+    Row slicing keeps *global* frame coordinates throughout — triangle
+    setup is computed against the full viewport and the rasterizer's pixel
+    centers are offset by ``y_start`` — so a row-sharded render makes
+    exactly the same coverage decisions as the full frame (the edge
+    functions are exact; see ops/setup.py). Depth values can differ by
+    codegen ulps (XLA fuses the depth-plane FMA differently per shape),
+    which can flip depth *ties* along shared triangle edges — the same
+    tolerance class as the reference's own CPU-vs-GPU backend pair. That is
+    how multi-device row sharding composes (parallel/sharding.py): zero
+    cross-device communication, zero boundary artifacts beyond tie ulps.
+    """
     mesh = rp.mesh
+    out_h = rp.height if rows is None else rows
+    y0 = 0 if y_start is None else y_start
     screen, _w = vertex_stage(mesh.positions, rp.transform, rp.width,
                               rp.height)
     tris = mesh.triangles()
     setup = triangle_setup(screen, tris, rp.width, rp.height,
                            cull_backfaces=rp.cull_backfaces)
-    depth, tri_id = _visibility(setup, rp, backend)
+    rp = dataclasses.replace(rp, height=out_h)
+    depth, tri_id = _visibility(setup, rp, backend, y_start=y0)
+    # The visibility buffer is discrete (winner ids + hard z-test): gradients
+    # flow through resolve/shading (appearance: colors, textures, lights),
+    # not through coverage. Geometry gradients need a soft-coverage mode.
+    depth = jax.lax.stop_gradient(depth)
+    tri_id = jax.lax.stop_gradient(tri_id)
     normal_matrix = None
     if rp.model is not None:
         rot = rp.model[:3, :3]
@@ -96,6 +133,7 @@ def render_triangles(rp: RenderPass, backend: str) -> Framebuffer:
         colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
         light=rp.light, texture=rp.texture,
         flat_color=rp.flat_color, normal_matrix=normal_matrix,
+        y_start=y0,
     )
     return Framebuffer(color=color, depth=depth)
 
@@ -125,6 +163,16 @@ def render_points(rp: RenderPass) -> Framebuffer:
     color = lines_ops.draw_points(color, screen[idx], colors[idx])
     depth = jnp.full((rp.height, rp.width), jnp.inf, jnp.float32)
     return Framebuffer(color=color, depth=depth)
+
+
+def render_rows(rp: RenderPass, y_start, rows: int,
+                backend: str = "pallas") -> Framebuffer:
+    """Render only rows [y_start, y_start + rows) of the frame with global
+    semantics (the row-sharding building block). ``y_start`` may be traced
+    (e.g. derived from ``jax.lax.axis_index`` inside shard_map)."""
+    if rp.primitive != "triangle":
+        raise NotImplementedError("row slicing applies to the triangle path")
+    return render_triangles(rp, backend, y_start=y_start, rows=rows)
 
 
 @partial(jax.jit, static_argnames=("backend",))

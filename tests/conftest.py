@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (after env setup)
 
+# The image's profile exports JAX_PLATFORMS=axon and the plugin overrides
+# the env var via config, so force the platform through config too.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: golden tests compile many distinct
 # (resolution, mesh-size) programs; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,102 @@
+"""Binned visibility pass vs the reference backend (exact-coverage golden
+cross-check), including the huge-triangle overflow path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import software_renderer_tpu as sr
+from software_renderer_tpu.ops.binning import visibility_binned, build_bins
+from software_renderer_tpu.ops.rasterize_pallas import pack_records
+from software_renderer_tpu.ops.rasterize_ref import visibility_ref
+from software_renderer_tpu.ops.setup import triangle_setup
+from software_renderer_tpu.ops.vertex import vertex_stage
+
+
+def setup_for(positions, tris, width, height, transform=None):
+    transform = np.eye(4) if transform is None else transform
+    screen, _ = vertex_stage(jnp.asarray(positions, jnp.float32),
+                             jnp.asarray(transform, jnp.float32),
+                             width, height)
+    return triangle_setup(screen, jnp.asarray(tris), width, height)
+
+
+def compare(positions, tris, width, height, **kw):
+    s = setup_for(positions, tris, width, height)
+    d_ref, id_ref = visibility_ref(s, width=width, height=height)
+    d_bin, id_bin = visibility_binned(s, width=width, height=height, **kw)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_bin))
+
+
+def test_small_triangles_binned():
+    rng = np.random.default_rng(3)
+    n = 120
+    positions = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    positions[:, 2] = rng.uniform(0.0, 1.0, size=n)
+    # Small triangles: cluster vertex triples.
+    base = rng.uniform(-0.9, 0.9, size=(40, 1, 3))
+    offs = rng.uniform(-0.08, 0.08, size=(40, 3, 3))
+    pts = (base + offs).reshape(-1, 3).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.1, 0.9, size=len(pts))
+    tris = np.arange(120).reshape(40, 3)
+    compare(pts, tris, 256, 128)
+
+
+def test_huge_triangle_overflow():
+    # One fullscreen triangle (spans far more than KMAX tiles) behind
+    # small ones in front: exercises the overflow merge.
+    rng = np.random.default_rng(5)
+    pts = [np.array([[-3.0, 3.0, 0.9], [3.0, 3.0, 0.9], [0.0, -3.0, 0.9]],
+                    np.float32)]
+    tris = [np.array([[0, 1, 2]])]
+    base = rng.uniform(-0.8, 0.8, size=(20, 1, 3))
+    offs = rng.uniform(-0.1, 0.1, size=(20, 3, 3))
+    small = (base + offs).reshape(-1, 3).astype(np.float32)
+    small[:, 2] = rng.uniform(0.1, 0.5, size=len(small))
+    pts.append(small)
+    tris.append(np.arange(60).reshape(20, 3) + 3)
+    positions = np.concatenate(pts)
+    tri_arr = np.concatenate(tris)
+    compare(positions, tri_arr, 256, 192)
+    # And with the huge triangle last (checks order-independent ties).
+    reorder = np.concatenate([tri_arr[1:], tri_arr[:1]])
+    s = setup_for(positions, reorder, 256, 192)
+    d_ref, id_ref = visibility_ref(s, width=256, height=192)
+    d_bin, id_bin = visibility_binned(s, width=256, height=192)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
+
+
+def test_binned_end_to_end_sphere():
+    mesh = sr.shapes.uv_sphere(radius=0.2, segments=13, inward_normals=True)
+    transform = sr.transforms.reference_demo_transform(2.1)
+    rp = sr.RenderPass(mesh=mesh, transform=transform, width=128, height=128)
+    fb_ref = sr.render(rp, backend="reference")
+    fb_bin = sr.render(rp, backend="binned")
+    np.testing.assert_array_equal(np.asarray(fb_ref.color),
+                                  np.asarray(fb_bin.color))
+
+
+def test_bin_stream_invariants():
+    rng = np.random.default_rng(9)
+    n = 30
+    positions = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    positions[:, 2] = 0.5
+    tris = rng.integers(0, n, size=(15, 3))
+    s = setup_for(positions, tris, 128, 64)
+    rec = pack_records(s)
+    stream = build_bins(s, rec, width=128, height=64)
+    ids = np.asarray(stream.ids)
+    ct = np.asarray(stream.chunk_tile)
+    ff = np.asarray(stream.first_flag)
+    # chunk_tile non-decreasing; exactly one first flag per visited tile.
+    assert (np.diff(ct) >= 0).all()
+    for tile in np.unique(ct):
+        flags = ff[ct == tile]
+        assert flags[0] == 1 or tile == ct[-1]  # tail chunks share last tile
+    # Within a chunk run of one tile, ids ascend (ignoring -1 padding).
+    valid = ids >= 0
+    chunk = 32
+    tile_of_entry = np.repeat(ct, chunk)
+    for tile in np.unique(tile_of_entry):
+        sel = ids[(tile_of_entry == tile) & valid]
+        assert (np.diff(sel) > 0).all(), f"tile {tile} ids not ascending"
