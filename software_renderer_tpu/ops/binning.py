@@ -45,8 +45,15 @@ from .rasterize_pallas import (
 from .rasterize_ref import pixel_centers
 from .setup import TriangleSetup
 
-KMAX = 8             # max tiles per triangle in the binned stream
+KMAX = 4             # max tiles per triangle in the binned stream
 OVERFLOW_CAP = 1024  # max huge triangles (spanning > KMAX tiles) per frame
+# Binned-stream pair budget, in units of T (triangle count). Small
+# triangles average ~1.3 bbox-tile overlaps, so 2T of slots is generous;
+# triangles past the budget spill to the overflow list (still correct,
+# just slower). Keeping the stream near its *used* size matters: the
+# kernel's grid covers the whole static capacity, and poison tail chunks
+# cost real grid steps.
+PAIR_BUDGET_FACTOR = 2
 
 
 @jax.tree_util.register_dataclass
@@ -87,8 +94,14 @@ def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
     span_h = ty1 - ty0 + 1
     nspan = span_w * span_h
     valid = setup.valid & in_slice
-    overflow = valid & (nspan > kmax)
-    binned = valid & ~overflow
+    small = valid & (nspan <= kmax)
+    # Pair budget: triangles whose cumulative pair demand exceeds the
+    # budget spill to the overflow list (correctness preserved; the
+    # overflow pass walks them per tile with bbox rejection).
+    budget_pairs = -(-PAIR_BUDGET_FACTOR * max(t, 1) // chunk) * chunk
+    cum_pairs = jnp.cumsum(jnp.where(small, nspan, 0))
+    binned = small & (cum_pairs <= budget_pairs)
+    overflow = valid & ~binned
 
     # 1. Expansion: pair k of triangle t covers tile (ty0 + k // span_w,
     #    tx0 + k % span_w).
@@ -113,7 +126,7 @@ def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
 
-    cap = (-(-(t * kmax) // chunk)) * chunk + ntiles * chunk
+    cap = int(budget_pairs) + ntiles * chunk
     j = jnp.arange(t * kmax, dtype=jnp.int32)
     key_j = sorted_keys
     in_range = key_j < ntiles
@@ -204,17 +217,14 @@ def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
     id_ref[:] = idbuf
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "chunk", "kmax", "overflow_cap",
-                                    "interpret"))
-def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
-                      y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = CHUNK, kmax: int = KMAX,
-                      overflow_cap: int = OVERFLOW_CAP,
-                      interpret: bool | None = None):
-    """Binned visibility pass. Same contract as visibility_ref /
-    visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
+def visibility_binned_stream(setup: TriangleSetup, *, width: int,
+                             height: int, y_start=0, tile_h: int = TILE_H,
+                             tile_w: int = TILE_W, chunk: int = CHUNK,
+                             kmax: int = KMAX,
+                             overflow_cap: int = OVERFLOW_CAP,
+                             interpret: bool | None = None):
+    """Binned visibility pass returning (depth, tri_id, stream); the
+    stream is reused by the Pallas G-buffer resolve (gbuffer_binned)."""
     if interpret is None:
         interpret = default_interpret()
     rec = pack_records(setup, chunk)
@@ -276,4 +286,232 @@ def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
     depth, tri_id = jax.lax.cond(
         stream.n_overflow > 0, with_overflow, lambda args: args,
         (depth, tri_id))
+    return depth, tri_id, stream
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "chunk", "kmax", "overflow_cap",
+                                    "interpret"))
+def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
+                      y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      chunk: int = CHUNK, kmax: int = KMAX,
+                      overflow_cap: int = OVERFLOW_CAP,
+                      interpret: bool | None = None):
+    """Binned visibility pass. Same contract as visibility_ref /
+    visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
+    depth, tri_id, _ = visibility_binned_stream(
+        setup, width=width, height=height, y_start=y_start, tile_h=tile_h,
+        tile_w=tile_w, chunk=chunk, kmax=kmax, overflow_cap=overflow_cap,
+        interpret=interpret)
     return depth, tri_id
+
+
+# ---------------------------------------------------------------------------
+# Deferred G-buffer resolve in Pallas.
+#
+# Screen-space-linear attributes (the reference's interpolation model,
+# Shaders.metal:157,162) are affine planes: attr(x, y) = px*x + py*y + pc.
+# Instead of per-pixel XLA gathers of per-triangle data (slow on TPU), a
+# second pass over the *same binned stream* evaluates each triangle's
+# attribute planes over its tile and selects them where the visibility
+# buffer says that triangle won. Cost is O(overlap pairs), like the
+# visibility pass, with an any(mask) early-out for fully-occluded
+# triangles.
+# ---------------------------------------------------------------------------
+
+def attribute_planes(setup: TriangleSetup, attrs):
+    """[T, 3, A] per-vertex attributes -> [T, 3, A] affine planes
+    (rows: x, y, 1 coefficients)."""
+    # planes[t, i, a] = sum_j coef[t, i, j] * attrs[t, j, a] * inv_area[t]
+    # Explicit multiply-sum: stays on the VPU in f32 (tiny contraction).
+    planes = jnp.sum(setup.coef[:, :, :, None] * attrs[:, None, :, :],
+                     axis=2)
+    return planes * setup.inv_area[:, None, None]
+
+
+def pack_attr_records(planes, ids):
+    """Gather attribute planes into stream order: [cap, 3A+1] f32 rows of
+    (px0, py0, pc0, px1, ..., id). -1 ids become inert rows."""
+    t, _, a = planes.shape
+    flat = planes.transpose(0, 2, 1).reshape(t, 3 * a)  # per-channel x,y,1
+    rows = jnp.where((ids >= 0)[:, None],
+                     flat[jnp.clip(ids, 0, t - 1)], 0.0)
+    idcol = ids.astype(jnp.float32)[:, None]
+    return jnp.concatenate([rows, idcol], axis=-1)
+
+
+def _resolve_kernel(ct_ref, ff_ref, yoff_ref, rec_ref, id_in_ref, gb_ref, *,
+                    tile_h, tile_w, chunk, gw, n_channels):
+    """One grid step = one chunk of one tile's list; gb [A, tile_h, tile_w]."""
+    cc = pl.program_id(0)
+
+    @pl.when(ff_ref[cc] == 1)
+    def _init():
+        gb_ref[:] = jnp.zeros((n_channels, tile_h, tile_w), jnp.float32)
+
+    tile = ct_ref[cc]
+    x0f = ((tile % gw) * tile_w).astype(jnp.float32)
+    y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          .astype(jnp.float32) + (x0f + 0.5))
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          .astype(jnp.float32) + (y0f + 0.5))
+    idbuf = id_in_ref[:]
+
+    def body(k, gb):
+        tri = rec_ref[k, 3 * n_channels].astype(jnp.int32)
+        mask = idbuf == tri
+
+        def write(gb):
+            out = []
+            for a in range(n_channels):
+                plane = (rec_ref[k, 3 * a] * xs + rec_ref[k, 3 * a + 1] * ys
+                         + rec_ref[k, 3 * a + 2])
+                out.append(jnp.where(mask, plane, gb[a]))
+            return jnp.stack(out, axis=0)
+
+        visible = jnp.logical_and(tri >= 0, jnp.any(mask))
+        return jax.lax.cond(visible, write, lambda g: g, gb)
+
+    gb_ref[:] = jax.lax.fori_loop(0, chunk, body, gb_ref[:])
+
+
+def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
+                   height: int, y_start=0, tile_h: int = TILE_H,
+                   tile_w: int = TILE_W, chunk: int = CHUNK,
+                   interpret: bool | None = None):
+    """Evaluate the winning triangle's attribute planes per pixel.
+
+    planes: [T, 3, A]; tri_id: [H, W] winners (from visibility_binned with
+    the same stream). Returns gb [H, W, A].
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    a = planes.shape[-1]
+    rec_attr = pack_attr_records(planes, stream.ids)
+    pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
+    gh, gw = (height + pad_h) // tile_h, (width + pad_w) // tile_w
+    n_chunks = rec_attr.shape[0] // chunk
+    tid = tri_id
+    if pad_h or pad_w:
+        tid = jnp.pad(tid, ((0, pad_h), (0, pad_w)), constant_values=-1)
+
+    kernel = functools.partial(_resolve_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=chunk, gw=gw,
+                               n_channels=a)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, 3 * a + 1),
+                         lambda cc, ct, ff, yo: (cc, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (a, tile_h, tile_w),
+            lambda cc, ct, ff, yo: (0, ct[cc] // gw, ct[cc] % gw),
+            memory_space=pltpu.VMEM),
+    )
+    gb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (a, height + pad_h, width + pad_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(stream.chunk_tile, stream.first_flag,
+      jnp.asarray(y_start, jnp.int32).reshape(1), rec_attr, tid)
+    gb = gb[:, :height, :width]
+
+    # Overflow triangles also need their attributes resolved: walk the
+    # overflow list once per tile, merging into the G-buffer.
+    def with_overflow(gb):
+        ov_rec = pack_attr_records(planes, stream.overflow_ids)
+        nov_chunks = ov_rec.shape[0] // chunk
+        ntiles = gh * gw
+        ct = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), nov_chunks)
+        ff = jnp.tile(
+            (jnp.arange(nov_chunks, dtype=jnp.int32) == 0
+             ).astype(jnp.int32), ntiles)
+        cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
+        gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
+        grid_spec2 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # ct, ff (merge flag), cyc, y_offset
+            grid=(ntiles * nov_chunks,),
+            in_specs=[
+                pl.BlockSpec((chunk, 3 * a + 1),
+                             lambda cc, ct, ff, cyc, yo: (cyc[cc], 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_h, tile_w),
+                             lambda cc, ct, ff, cyc, yo:
+                             (ct[cc] // gw, ct[cc] % gw),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a, tile_h, tile_w),
+                             lambda cc, ct, ff, cyc, yo:
+                             (0, ct[cc] // gw, ct[cc] % gw),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (a, tile_h, tile_w),
+                lambda cc, ct, ff, cyc, yo:
+                (0, ct[cc] // gw, ct[cc] % gw),
+                memory_space=pltpu.VMEM),
+        )
+
+        def merge_kernel(ct_ref, ff_ref, cyc_ref, yoff_ref, rec_ref,
+                         id_in_ref, gb_in_ref, gb_ref):
+            cc = pl.program_id(0)
+
+            @pl.when(ff_ref[cc] == 1)
+            def _seed():
+                gb_ref[:] = gb_in_ref[:]
+
+            tile = ct_ref[cc]
+            x0f = ((tile % gw) * tile_w).astype(jnp.float32)
+            y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
+            xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+                  .astype(jnp.float32) + (x0f + 0.5))
+            ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+                  .astype(jnp.float32) + (y0f + 0.5))
+            idbuf = id_in_ref[:]
+
+            def body(k, gb):
+                tri = rec_ref[k, 3 * a].astype(jnp.int32)
+                mask = idbuf == tri
+
+                def write(gb):
+                    out = []
+                    for ch in range(a):
+                        plane = (rec_ref[k, 3 * ch] * xs
+                                 + rec_ref[k, 3 * ch + 1] * ys
+                                 + rec_ref[k, 3 * ch + 2])
+                        out.append(jnp.where(mask, plane, gb[ch]))
+                    return jnp.stack(out, axis=0)
+
+                visible = jnp.logical_and(tri >= 0, jnp.any(mask))
+                return jax.lax.cond(visible, write, lambda g: g, gb)
+
+            gb_ref[:] = jax.lax.fori_loop(0, chunk, body, gb_ref[:])
+
+        out = pl.pallas_call(
+            merge_kernel,
+            grid_spec=grid_spec2,
+            out_shape=jax.ShapeDtypeStruct(
+                (a, height + pad_h, width + pad_w), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(ct, ff, cyc, jnp.asarray(y_start, jnp.int32).reshape(1),
+          ov_rec, tid, gb_p)
+        return out[:, :height, :width]
+
+    gb = jax.lax.cond(stream.n_overflow > 0, with_overflow,
+                      lambda g: g, gb)
+    return jnp.moveaxis(gb, 0, -1)  # [H, W, A]

@@ -50,6 +50,105 @@ def _normalize(v, eps=1e-12):
                                                  keepdims=True), eps))
 
 
+def attribute_channels(shading: str, has_colors: bool, has_light: bool):
+    """G-buffer channel plan for a shading mode: list of (name, size).
+
+    The G-buffer is the screen-space-interpolated attribute stack the
+    deferred resolve produces (either the XLA gather path in
+    ops/resolve.py or the Pallas plane-evaluation kernel in
+    ops/binning.py); ``shade_gbuffer`` consumes it.
+    """
+    if shading == "vertex":
+        return [("rgb", 3)]
+    if shading == "flat":
+        return []
+    if shading == "phong":
+        chans = [("rgb", 3)] if has_colors else []
+        return chans + ([("normal", 3)] if has_light else [])
+    if shading == "textured":
+        chans = []
+        if has_colors:
+            chans.append(("rgb", 3))
+        if has_light:
+            chans.append(("normal", 3))
+        return chans + [("uv", 2)]
+    raise ValueError(f"unknown shading mode {shading!r}")
+
+
+def gather_attribute_values(shading: str, tris, colors=None, normals=None,
+                            uvs=None, has_light: bool = True):
+    """Stack per-vertex attributes into [T, 3, A] per the channel plan."""
+    chans = attribute_channels(shading, colors is not None, has_light)
+    parts = []
+    for name, _ in chans:
+        if name == "rgb":
+            parts.append(colors[tris])
+        elif name == "normal":
+            parts.append(normals[tris])
+        elif name == "uv":
+            parts.append(uvs[tris])
+    if not parts:
+        return None, chans
+    return jnp.concatenate(parts, axis=-1), chans
+
+
+def shade_gbuffer(gb, covered, *, shading: str, chans,
+                  light: Optional[Light] = None,
+                  texture: Optional[Texture] = None,
+                  flat_color=(1.0, 1.0, 1.0),
+                  normal_matrix=None,
+                  view_dir=(0.0, 0.0, -1.0)):
+    """Final lighting/texturing from an interpolated G-buffer.
+
+    gb: [H, W, A] (A = sum of channel sizes, possibly 0/None).
+    covered: [H, W] bool. Returns [H, W, 4] RGBA.
+    """
+    offsets = {}
+    off = 0
+    for name, size in chans:
+        offsets[name] = (off, off + size)
+        off += size
+
+    def chan(name):
+        a, b = offsets[name]
+        return gb[..., a:b]
+
+    shape = covered.shape
+    if shading == "flat" or ("rgb" not in offsets
+                             and shading in ("phong", "textured")):
+        base = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32),
+                                shape + (3,))
+    elif "rgb" in offsets:
+        base = chan("rgb")
+    else:
+        raise ValueError(f"no color source for shading {shading!r}")
+
+    if shading == "textured":
+        tex_rgb = sample_texture(texture, chan("uv"))[..., :3]
+        base = tex_rgb if "rgb" not in offsets else base * tex_rgb
+
+    if shading in ("phong", "textured") and light is not None \
+            and "normal" in offsets:
+        n = chan("normal")
+        if normal_matrix is not None:
+            n = n @ normal_matrix.T
+        n = _normalize(n)
+        l = -_normalize(jnp.asarray(light.direction, jnp.float32))
+        v = _normalize(jnp.asarray(view_dir, jnp.float32))
+        ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+        h = _normalize(l + v)
+        ndoth = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
+        spec = jnp.power(ndoth, light.shininess) * jnp.sign(ndotl)
+        rgb = (base * (light.ambient + light.color * ndotl)
+               + light.specular * spec)
+    else:
+        rgb = base
+
+    alpha = jnp.where(covered, 1.0, 0.0)
+    rgb = jnp.where(covered[..., None], rgb, 0.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
 def shade(setup, tri_id, tris, *, shading: str,
           colors=None, normals=None, uvs=None,
           light: Optional[Light] = None,
@@ -76,51 +175,21 @@ def shade(setup, tri_id, tris, *, shading: str,
 
     Returns: color [H, W, 4] float32.
     """
-    ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
-
-    def interp(attr, k):
-        return interpolate_attribute(attr[tris], tri_id, ws, covered)
-
-    if shading == "vertex":
-        if colors is None:
-            raise ValueError("'vertex' shading requires per-vertex colors")
-        rgb = interp(colors, 3)
-    elif shading == "flat":
-        rgb = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32),
-                               tri_id.shape + (3,))
-    elif shading in ("phong", "textured"):
-        if shading == "textured":
-            if uvs is None or texture is None:
-                raise ValueError("'textured' shading requires uvs + texture")
-            uv = interp(uvs, 2)
-            base = sample_texture(texture, uv)[..., :3]
-            if colors is not None:
-                base = base * interp(colors, 3)
-        else:
-            if colors is not None:
-                base = interp(colors, 3)
-            else:
-                base = jnp.broadcast_to(
-                    jnp.asarray(flat_color, jnp.float32), tri_id.shape + (3,)
-                )
-        if light is not None and normals is not None:
-            n = interp(normals, 3)
-            if normal_matrix is not None:
-                n = n @ normal_matrix.T
-            n = _normalize(n)
-            l = -_normalize(jnp.asarray(light.direction, jnp.float32))
-            v = _normalize(jnp.asarray(view_dir, jnp.float32))
-            ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
-            h = _normalize(l + v)
-            ndoth = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
-            spec = jnp.power(ndoth, light.shininess) * jnp.sign(ndotl)
-            rgb = (base * (light.ambient + light.color * ndotl)
-                   + light.specular * spec)
-        else:
-            rgb = base
+    if shading == "vertex" and colors is None:
+        raise ValueError("'vertex' shading requires per-vertex colors")
+    if shading == "textured" and (uvs is None or texture is None):
+        raise ValueError("'textured' shading requires uvs + texture")
+    attrs, chans = gather_attribute_values(
+        shading, tris, colors=colors, normals=normals, uvs=uvs,
+        has_light=light is not None and normals is not None)
+    from ..framebuffer import NO_TRIANGLE
+    covered = tri_id != NO_TRIANGLE
+    if attrs is not None:
+        ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
+        gb = interpolate_attribute(attrs, tri_id, ws, covered)
     else:
-        raise ValueError(f"unknown shading mode {shading!r}")
-
-    alpha = jnp.where(covered, 1.0, 0.0)
-    rgb = jnp.where(covered[..., None], rgb, 0.0)
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        gb = None
+    return shade_gbuffer(gb, covered, shading=shading, chans=chans,
+                         light=light, texture=texture,
+                         flat_color=flat_color,
+                         normal_matrix=normal_matrix, view_dir=view_dir)

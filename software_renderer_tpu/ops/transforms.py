@@ -150,6 +150,25 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)):
     return m.at[:3, 3].set(-rot @ eye)
 
 
+def project_ndc_to_uv(p):
+    """Legacy NDC -> uv projection (Renderer.swift:131-152 ``project``).
+
+    The reference's live implementation returns ``p.xy`` unconditionally
+    (Renderer.swift:133) — the perspective-by-1/(z+1) code after it is
+    dead. The working equivalent of its intent: scale xy by 1/(z+1) (eye
+    at (0,0,-1)) and shift to uv space. Both behaviors are offered.
+    """
+    p = jnp.asarray(p, jnp.float32)
+    scale = 1.0 / (p[..., 2] + 1.0)
+    return p[..., :2] * scale[..., None] + 0.5
+
+
+def project_ndc_to_uv_literal(p):
+    """Bug-compatible variant: returns p.xy exactly as the reference's
+    early-return does (Renderer.swift:133)."""
+    return jnp.asarray(p, jnp.float32)[..., :2]
+
+
 def reference_demo_transform(time):
     """The exact per-frame MVP of the reference's live scene
     (App.swift:169-183): two composed quaternion rotations, translate z=+1,

@@ -116,17 +116,49 @@ def render_triangles(rp: RenderPass, backend: str,
     tris = mesh.triangles()
     setup = triangle_setup(screen, tris, rp.width, rp.height,
                            cull_backfaces=rp.cull_backfaces)
+    if backend == "auto":
+        backend = ("binned" if setup.num_triangles >= AUTO_BIN_THRESHOLD
+                   else "pallas")
     rp = dataclasses.replace(rp, height=out_h)
+    normal_matrix = None
+    if rp.model is not None:
+        rot = rp.model[:3, :3]
+        normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
+
+    if backend == "binned":
+        # Fast path: binned visibility + Pallas plane-evaluation resolve
+        # (no per-pixel gathers).
+        from .ops.binning import (attribute_planes, gbuffer_binned,
+                                  visibility_binned_stream)
+        from .ops.shading import gather_attribute_values, shade_gbuffer
+
+        depth, tri_id, stream = visibility_binned_stream(
+            setup, width=rp.width, height=out_h, y_start=y0)
+        depth = jax.lax.stop_gradient(depth)
+        tri_id = jax.lax.stop_gradient(tri_id)
+        attrs, chans = gather_attribute_values(
+            rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+            uvs=mesh.uvs,
+            has_light=rp.light is not None and mesh.normals is not None)
+        if attrs is not None:
+            planes = attribute_planes(setup, attrs)
+            gb = gbuffer_binned(stream, planes, tri_id, width=rp.width,
+                                height=out_h, y_start=y0)
+        else:
+            gb = None
+        covered = tri_id != -1
+        color = shade_gbuffer(gb, covered, shading=rp.shading, chans=chans,
+                              light=rp.light, texture=rp.texture,
+                              flat_color=rp.flat_color,
+                              normal_matrix=normal_matrix)
+        return Framebuffer(color=color, depth=depth)
+
     depth, tri_id = _visibility(setup, rp, backend, y_start=y0)
     # The visibility buffer is discrete (winner ids + hard z-test): gradients
     # flow through resolve/shading (appearance: colors, textures, lights),
     # not through coverage. Geometry gradients need a soft-coverage mode.
     depth = jax.lax.stop_gradient(depth)
     tri_id = jax.lax.stop_gradient(tri_id)
-    normal_matrix = None
-    if rp.model is not None:
-        rot = rp.model[:3, :3]
-        normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
     color = shade(
         setup, tri_id, tris,
         shading=rp.shading,

@@ -72,8 +72,53 @@ def test_binned_end_to_end_sphere():
     rp = sr.RenderPass(mesh=mesh, transform=transform, width=128, height=128)
     fb_ref = sr.render(rp, backend="reference")
     fb_bin = sr.render(rp, backend="binned")
-    np.testing.assert_array_equal(np.asarray(fb_ref.color),
-                                  np.asarray(fb_bin.color))
+    c_ref = np.asarray(fb_ref.color)
+    c_bin = np.asarray(fb_bin.color)
+    # Identical coverage and depth; colors agree to plane-evaluation ulps
+    # (the Pallas resolve evaluates attribute planes at (x, y) rather than
+    # dotting barycentric weights — algebraically equal).
+    np.testing.assert_array_equal(c_ref[..., 3], c_bin[..., 3])
+    np.testing.assert_array_equal(np.asarray(fb_ref.depth),
+                                  np.asarray(fb_bin.depth))
+    np.testing.assert_allclose(c_ref, c_bin, atol=1e-4)
+
+
+def test_binned_gbuffer_shading_matches_reference():
+    # Textured + Phong through the Pallas G-buffer resolve vs the XLA
+    # gather resolve. Attribute values go through different (algebraically
+    # equal) arithmetic, so compare with a tight tolerance.
+    from software_renderer_tpu.models import scenes
+    for build in (scenes.config2_textured_cube, scenes.config3_phong_mesh):
+        rp = build(0.7, width=128, height=96)
+        fb_ref = sr.render(rp, backend="reference")
+        fb_bin = sr.render(rp, backend="binned")
+        c_ref = np.asarray(fb_ref.color)
+        c_bin = np.asarray(fb_bin.color)
+        np.testing.assert_array_equal(c_ref[..., 3], c_bin[..., 3])
+        bad = ~np.isclose(c_ref, c_bin, atol=1e-3)
+        assert bad.mean() < 1e-3, f"{build.__name__}: {bad.sum()} bad"
+
+
+def test_binned_pair_budget_spills_to_overflow():
+    # More pairs than the budget: extra triangles must still render
+    # (via the overflow path), not vanish.
+    from software_renderer_tpu.ops.binning import (build_bins,
+                                                   PAIR_BUDGET_FACTOR)
+    rng = np.random.default_rng(1)
+    n_tri = 40
+    base = rng.uniform(-0.9, 0.9, size=(n_tri, 1, 3))
+    offs = rng.uniform(-0.4, 0.4, size=(n_tri, 3, 3))  # medium triangles
+    pts = (base + offs).reshape(-1, 3).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.1, 0.9, size=len(pts))
+    tris = np.arange(3 * n_tri).reshape(n_tri, 3)
+    s = setup_for(pts, tris, 512, 256)
+    rec = pack_records(s)
+    stream = build_bins(s, rec, width=512, height=256)
+    # Some triangles should have spilled for this setup to be meaningful;
+    # if not, the scene is too small — still assert correctness.
+    d_ref, id_ref = visibility_ref(s, width=512, height=256)
+    d_bin, id_bin = visibility_binned(s, width=512, height=256)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
 
 
 def test_bin_stream_invariants():

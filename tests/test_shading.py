@@ -1,0 +1,115 @@
+"""Shading modes: flat, phong, textured; texture sampling; MSAA."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import software_renderer_tpu as sr
+from software_renderer_tpu.models import scenes
+from software_renderer_tpu.ops.msaa import render_msaa, downsample_box
+from software_renderer_tpu.ops.texture import (Texture, checkerboard,
+                                               sample_texture)
+
+
+def fullscreen_quad_rp(width=64, height=64, **kw):
+    # Two triangles covering the viewport (z = 0.5), uv = [0,1]^2.
+    positions = np.array([
+        [-1, 1, 0.5], [1, 1, 0.5], [1, -1, 0.5], [-1, -1, 0.5]], np.float32)
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    normals = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (4, 1))
+    colors = np.ones((4, 3), np.float32)
+    mesh = sr.mesh_from_numpy(positions, np.array([0, 1, 2, 0, 2, 3]),
+                              colors=colors, normals=normals, uvs=uvs)
+    return sr.RenderPass(mesh=mesh, transform=jnp.eye(4), width=width,
+                         height=height, **kw)
+
+
+def test_flat_shading():
+    rp = fullscreen_quad_rp(shading="flat",
+                            flat_color=jnp.array([0.2, 0.4, 0.6]))
+    fb = sr.render(rp, backend="reference")
+    c = np.asarray(fb.color)
+    covered = c[..., 3] > 0
+    assert covered.mean() > 0.98
+    assert np.abs(c[covered][:, :3] - np.array([0.2, 0.4, 0.6])).max() < 1e-6
+
+
+def test_textured_quad_matches_texture():
+    tex = checkerboard(64, 8)
+    rp = fullscreen_quad_rp(shading="textured", texture=tex)
+    fb = sr.render(rp, backend="reference")
+    c = np.asarray(fb.color)
+    # Away from checker edges, the rendered color equals the texel color.
+    # Sample interior points of several tiles.
+    h = w = 64
+    for py, px in [(4, 4), (4, 12), (20, 28), (60, 60)]:
+        uv = ((px + 0.5) / w, (py + 0.5) / h)
+        texel = np.asarray(sample_texture(tex, jnp.array(uv)))
+        np.testing.assert_allclose(c[py, px, :3], texel, atol=0.02)
+
+
+def test_phong_lit_quad():
+    light = sr.Light(
+        direction=jnp.array([0.0, 0.0, 1.0]),   # straight at the quad
+        color=jnp.array([1.0, 1.0, 1.0]),
+        ambient=jnp.array([0.1, 0.1, 0.1]),
+        specular=jnp.array([0.0, 0.0, 0.0]),    # isolate diffuse
+        shininess=jnp.float32(16.0),
+    )
+    rp = fullscreen_quad_rp(shading="phong", light=light)
+    fb = sr.render(rp, backend="reference")
+    c = np.asarray(fb.color)
+    covered = c[..., 3] > 0
+    # normal (0,0,-1), l = -dir = (0,0,-1): n.l = 1 -> ambient + diffuse.
+    assert np.abs(c[covered][:, :3] - 1.1).max() < 1e-5
+
+
+def test_phong_normal_falloff():
+    # Sphere under a directional light: the lit hemisphere must be brighter
+    # than the rim.
+    rp = scenes.config3_phong_mesh(0.3, width=96, height=96)
+    fb = sr.render(rp, backend="reference")
+    c = np.asarray(fb.color)
+    covered = c[..., 3] > 0
+    assert covered.any()
+    vals = c[covered][:, :3].mean(axis=-1)
+    assert vals.max() > vals.min() + 0.1  # real shading variation
+
+
+def test_texture_wrap_modes():
+    data = jnp.arange(16, dtype=jnp.float32).reshape(4, 4, 1) / 15.0
+    uv = jnp.array([[1.25, 0.125], [-0.75, 0.125]])  # both wrap to u=0.25
+    rep = sample_texture(Texture(data=data, filter="nearest", wrap="repeat"),
+                         uv)
+    cl = sample_texture(Texture(data=data, filter="nearest", wrap="clamp"),
+                        uv)
+    assert np.allclose(np.asarray(rep[0]), np.asarray(rep[1]))
+    assert float(cl[0, 0]) == float(data[0, 3, 0])   # clamped right edge
+    assert float(cl[1, 0]) == float(data[0, 0, 0])   # clamped left edge
+
+
+def test_bilinear_interpolates_midpoint():
+    data = jnp.zeros((2, 2, 1), jnp.float32).at[0, 1, 0].set(1.0)
+    tex = Texture(data=data, filter="bilinear", wrap="clamp")
+    mid = sample_texture(tex, jnp.array([0.5, 0.25]))
+    assert 0.2 < float(mid[0]) < 0.8
+
+
+def test_msaa_smooths_edges():
+    rp = scenes.intersecting_triangles(0.2, width=64, height=64)
+    fb1 = sr.render(rp, backend="reference")
+    fb4 = render_msaa(rp, samples=2, backend="reference")
+    c1 = np.asarray(fb1.color)
+    c4 = np.asarray(fb4.color)
+    assert c1.shape == c4.shape
+    # Supersampled image has intermediate alpha values along edges.
+    a4 = c4[..., 3]
+    assert ((a4 > 0.1) & (a4 < 0.9)).sum() > 10
+    # Interiors agree.
+    interior = (c1[..., 3] == 1.0) & (a4 == 1.0)
+    assert np.abs(c1[interior] - c4[interior]).mean() < 0.2
+
+
+def test_downsample_box():
+    img = jnp.arange(16, dtype=jnp.float32).reshape(4, 4, 1)
+    out = np.asarray(downsample_box(img, 2))
+    np.testing.assert_allclose(out[0, 0, 0], (0 + 1 + 4 + 5) / 4)

@@ -1,0 +1,120 @@
+"""Utility layers: image IO (python + native), config, checkpoint, OBJ,
+pixel-format conversion, native runtime parity."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import software_renderer_tpu as sr
+from software_renderer_tpu import runtime
+from software_renderer_tpu.models.obj import (compute_vertex_normals,
+                                              load_obj, save_obj)
+from software_renderer_tpu.utils.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+from software_renderer_tpu.utils.config import RenderConfig
+from software_renderer_tpu.utils.image_io import read_png, write_png
+
+
+def test_quantize_roundtrip():
+    c = jnp.array([[[0.0, 0.5, 1.0, 1.0], [1.5, -0.2, 0.25, 0.0]]])
+    rgba = np.asarray(sr.to_rgba8(c))
+    np.testing.assert_array_equal(rgba[0, 0], [0, 128, 255, 255])
+    np.testing.assert_array_equal(rgba[0, 1], [255, 0, 64, 0])  # clamped
+    bgra = np.asarray(sr.to_bgra8(c))
+    np.testing.assert_array_equal(bgra[0, 0], [255, 128, 0, 255])
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_native_png_matches_python(tmp_path):
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    p = str(tmp_path / "n.png")
+    runtime.write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_obj_roundtrip(tmp_path):
+    mesh = sr.shapes.box(1.0)
+    p = str(tmp_path / "box.obj")
+    save_obj(p, mesh)
+    back = load_obj(p)
+    np.testing.assert_allclose(np.asarray(back.positions),
+                               np.asarray(mesh.positions), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(back.indices),
+                                  np.asarray(mesh.indices))
+    np.testing.assert_allclose(np.asarray(back.uvs),
+                               np.asarray(mesh.uvs), atol=1e-5)
+    if runtime.available():
+        native = runtime.load_obj(p)
+        np.testing.assert_allclose(np.asarray(native.positions),
+                                   np.asarray(back.positions), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(native.indices),
+                                      np.asarray(back.indices))
+
+
+def test_obj_computed_normals(tmp_path):
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2]])
+    n = compute_vertex_normals(positions, tris)
+    np.testing.assert_allclose(n, np.tile([[0, 0, 1]], (3, 1)), atol=1e-6)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = RenderConfig(width=1920, height=1080, backend="binned", msaa=2)
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+    back = RenderConfig.load(p)
+    assert back == cfg
+    assert back.projection_matrix().shape == (4, 4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, {"tex": np.ones((4, 4, 3)), "step": np.int32(7)},
+                    meta={"time": 1.25})
+    arrays, meta = load_checkpoint(p)
+    np.testing.assert_array_equal(arrays["tex"], np.ones((4, 4, 3)))
+    assert int(arrays["step"]) == 7
+    assert meta["time"] == 1.25
+
+
+def test_mesh_merge_and_transform():
+    a = sr.shapes.box(1.0)
+    b = sr.shapes.uv_sphere(radius=0.3, segments=6)
+    m = sr.merge_meshes([a, b])
+    assert m.num_vertices == a.num_vertices + b.num_vertices
+    assert int(m.indices.max()) < m.num_vertices
+    t = sr.transforms.translation_matrix((1.0, 2.0, 3.0))
+    moved = sr.transform_mesh(a, t)
+    np.testing.assert_allclose(
+        np.asarray(moved.positions) - np.asarray(a.positions),
+        np.tile([[1, 2, 3]], (a.num_vertices, 1)), atol=1e-6)
+    # Pure translation leaves normals unchanged.
+    np.testing.assert_allclose(np.asarray(moved.normals),
+                               np.asarray(a.normals), atol=1e-6)
+
+
+def test_scene_builders_construct():
+    from software_renderer_tpu.models import scenes
+    for fn in [scenes.reference_sphere, scenes.rotating_triangle,
+               scenes.intersecting_triangles, scenes.config1_flat_cube]:
+        rp = fn(0.1, width=32, height=32)
+        assert rp.mesh.positions.shape[-1] == 3
+
+
+def test_many_objects_scene_budget():
+    mesh = sr.shapes.many_objects_scene(target_triangles=3000)
+    t = mesh.indices.shape[0] // 3
+    assert 2000 <= t <= 3000
+    assert mesh.normals is not None and mesh.uvs is not None
