@@ -192,27 +192,25 @@ def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
 
     def body(k, carry):
         zbuf, idbuf = carry
+        # Branchless: poison records (ids -1, padding/tail) have e0 < 0
+        # everywhere, so they never update — cheaper than a per-triangle
+        # branch since bins contain mostly-live entries. The bbox test is
+        # unnecessary — bin membership == bbox overlap. Same exact math as
+        # rasterize_pallas._visibility_kernel.
         tri = rec_ref[k, 14].astype(jnp.int32)
+        e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
+        e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
+        e2 = rec_ref[k, 6] - e0 - e1
+        inside = jnp.logical_and(
+            jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
+        depth = rec_ref[k, 7] * xs + rec_ref[k, 8] * ys + rec_ref[k, 9]
+        cand = jnp.where(inside, depth, jnp.inf)
+        better = cand < zbuf  # ascending-id order => first wins ties
+        return (jnp.where(better, cand, zbuf),
+                jnp.where(better, tri, idbuf))
 
-        def rasterize(zbuf, idbuf):
-            # Same exact math as rasterize_pallas._visibility_kernel; the
-            # bbox test is unnecessary — bin membership == bbox overlap.
-            e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
-            e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
-            e2 = rec_ref[k, 6] - e0 - e1
-            inside = jnp.logical_and(
-                jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
-            depth = (rec_ref[k, 7] * xs + rec_ref[k, 8] * ys
-                     + rec_ref[k, 9])
-            cand = jnp.where(inside, depth, jnp.inf)
-            better = cand < zbuf  # ascending-id order => first wins ties
-            return (jnp.where(better, cand, zbuf),
-                    jnp.where(better, tri, idbuf))
-
-        return jax.lax.cond(tri >= 0, rasterize, lambda z, i: (z, i),
-                            zbuf, idbuf)
-
-    zbuf, idbuf = jax.lax.fori_loop(0, chunk, body, (z_ref[:], id_ref[:]))
+    zbuf, idbuf = jax.lax.fori_loop(0, chunk, body, (z_ref[:], id_ref[:]),
+                                    unroll=chunk)
     z_ref[:] = zbuf
     id_ref[:] = idbuf
 
@@ -360,21 +358,27 @@ def _resolve_kernel(ct_ref, ff_ref, yoff_ref, rec_ref, id_in_ref, gb_ref, *,
     idbuf = id_in_ref[:]
 
     def body(k, gb):
+        # gb is a tuple of [tile_h, tile_w] channel planes (2D arrays keep
+        # Mosaic on plain VPU selects; a stacked 3D carry would relayout).
+        # Branchless: a per-triangle cond would copy all channel carries
+        # through both branches — costlier than the selects it skips.
+        # Inert rows (id -1) match no pixel (idbuf >= -1 only where
+        # uncovered... uncovered pixels hold -1, so mask must exclude it).
         tri = rec_ref[k, 3 * n_channels].astype(jnp.int32)
-        mask = idbuf == tri
+        mask = jnp.logical_and(idbuf == tri, tri >= 0)
+        return tuple(
+            jnp.where(mask,
+                      rec_ref[k, 3 * a] * xs
+                      + rec_ref[k, 3 * a + 1] * ys
+                      + rec_ref[k, 3 * a + 2],
+                      gb[a])
+            for a in range(n_channels))
 
-        def write(gb):
-            out = []
-            for a in range(n_channels):
-                plane = (rec_ref[k, 3 * a] * xs + rec_ref[k, 3 * a + 1] * ys
-                         + rec_ref[k, 3 * a + 2])
-                out.append(jnp.where(mask, plane, gb[a]))
-            return jnp.stack(out, axis=0)
-
-        visible = jnp.logical_and(tri >= 0, jnp.any(mask))
-        return jax.lax.cond(visible, write, lambda g: g, gb)
-
-    gb_ref[:] = jax.lax.fori_loop(0, chunk, body, gb_ref[:])
+    gb = jax.lax.fori_loop(
+        0, chunk, body, tuple(gb_ref[a] for a in range(n_channels)),
+        unroll=chunk)
+    for a in range(n_channels):
+        gb_ref[a] = gb[a]
 
 
 def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
@@ -483,21 +487,20 @@ def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
 
             def body(k, gb):
                 tri = rec_ref[k, 3 * a].astype(jnp.int32)
-                mask = idbuf == tri
+                mask = jnp.logical_and(idbuf == tri, tri >= 0)
+                return tuple(
+                    jnp.where(mask,
+                              rec_ref[k, 3 * ch] * xs
+                              + rec_ref[k, 3 * ch + 1] * ys
+                              + rec_ref[k, 3 * ch + 2],
+                              gb[ch])
+                    for ch in range(a))
 
-                def write(gb):
-                    out = []
-                    for ch in range(a):
-                        plane = (rec_ref[k, 3 * ch] * xs
-                                 + rec_ref[k, 3 * ch + 1] * ys
-                                 + rec_ref[k, 3 * ch + 2])
-                        out.append(jnp.where(mask, plane, gb[ch]))
-                    return jnp.stack(out, axis=0)
-
-                visible = jnp.logical_and(tri >= 0, jnp.any(mask))
-                return jax.lax.cond(visible, write, lambda g: g, gb)
-
-            gb_ref[:] = jax.lax.fori_loop(0, chunk, body, gb_ref[:])
+            gb = jax.lax.fori_loop(
+                0, chunk, body, tuple(gb_ref[ch] for ch in range(a)),
+                unroll=chunk)
+            for ch in range(a):
+                gb_ref[ch] = gb[ch]
 
         out = pl.pallas_call(
             merge_kernel,
