@@ -35,37 +35,59 @@ def _wrap_coords(i, n, mode):
     raise ValueError(f"unknown wrap mode {mode!r}")
 
 
+def _quad_table(tex: Texture):
+    """[Th*Tw, 4C] table where row (y, x) holds the 2x2 texel neighborhood
+    [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)] with the wrap mode baked in.
+
+    Bilinear sampling then needs ONE row gather per pixel instead of four
+    scattered texel gathers — a 4x reduction in gather count, which is
+    what TPU gather throughput is proportional to. Built in O(texels) on
+    device; XLA CSEs it across pixels within a jit.
+    """
+    d = tex.data
+    if tex.wrap == "repeat":
+        dx = jnp.roll(d, -1, axis=1)
+        dy = jnp.roll(d, -1, axis=0)
+        dxy = jnp.roll(dx, -1, axis=0)
+    else:  # clamp: shift with edge duplication
+        dx = jnp.concatenate([d[:, 1:], d[:, -1:]], axis=1)
+        dy = jnp.concatenate([d[1:], d[-1:]], axis=0)
+        dxy = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
+    th, tw, c = d.shape
+    quad = jnp.concatenate([d, dx, dy, dxy], axis=-1)  # [Th, Tw, 4C]
+    return quad.reshape(th * tw, 4 * c)
+
+
 def sample_texture(tex: Texture, uv):
     """Sample at uv in [0,1]^2 (u right, v down). uv: [..., 2].
 
     Returns [..., C] float32.
     """
     th, tw = tex.data.shape[0], tex.data.shape[1]
+    c = tex.data.shape[2]
     u = uv[..., 0] * tw
     v = uv[..., 1] * th
     if tex.filter == "nearest":
         xi = _wrap_coords(jnp.floor(u).astype(jnp.int32), tw, tex.wrap)
         yi = _wrap_coords(jnp.floor(v).astype(jnp.int32), th, tex.wrap)
-        return tex.data[yi, xi]
+        flat = tex.data.reshape(th * tw, c)
+        return flat[yi * tw + xi]
     if tex.filter != "bilinear":
         raise ValueError(f"unknown filter {tex.filter!r}")
-    # Bilinear: sample positions at texel centers.
+    # Bilinear: sample positions at texel centers; one quad-row gather.
     x = u - 0.5
     y = v - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    xa = _wrap_coords(x0i, tw, tex.wrap)
-    xb = _wrap_coords(x0i + 1, tw, tex.wrap)
-    ya = _wrap_coords(y0i, th, tex.wrap)
-    yb = _wrap_coords(y0i + 1, th, tex.wrap)
-    t00 = tex.data[ya, xa]
-    t01 = tex.data[ya, xb]
-    t10 = tex.data[yb, xa]
-    t11 = tex.data[yb, xb]
+    xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
+    ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
+    quad = _quad_table(tex)[ya * tw + xa]  # [..., 4C]
+    t00 = quad[..., 0:c]
+    t01 = quad[..., c:2 * c]
+    t10 = quad[..., 2 * c:3 * c]
+    t11 = quad[..., 3 * c:4 * c]
     top = t00 + (t01 - t00) * fx
     bot = t10 + (t11 - t10) * fx
     return top + (bot - top) * fy
