@@ -42,11 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .setup import TriangleSetup
 
-# Tile geometry: (sublane x lane)-aligned f32 tiles. 32x128 = 16 KB/buffer.
-TILE_H = 32
+# Tile geometry: (sublane x lane)-aligned f32 tiles. 64x128 = 32 KB/buffer.
+# Swept on TPU v5e at 1080p/100k tris: 64x128+chunk 64 beat 32x128+32 by
+# 1.6x and 8x128 by 5x — per-chunk overhead and bin-budget spills dominate
+# below this size, VPU pixel work above it.
+TILE_H = 64
 TILE_W = 128
 # Triangles per setup-record block.
-CHUNK = 32
+CHUNK = 64
 # Record layout (REC_WIDTH f32 lanes per triangle). Only edges e0/e1 are
 # stored; e2 = |D| - e0 - e1 is reconstructed exactly in-kernel (all values
 # are integer-scaled and < 2^23, so the subtraction is exact — see

@@ -48,6 +48,21 @@ def barycentrics_at_pixels(setup: TriangleSetup, tri_id, y_start=0):
     return e * inv_area[..., None], covered
 
 
+def perspective_correct_weights(ws, w_tri, tri_id, covered):
+    """Optional perspective-correct weights (extension; the reference is
+    screen-space linear — Shaders.metal:157,162).
+
+    ws: [H, W, 3] screen-space weights; w_tri: [T, 3] clip-space w per
+    corner (from ops/vertex.py). Returns corrected [H, W, 3]:
+        ws'_i = (ws_i / w_i) / sum_j (ws_j / w_j)
+    """
+    tid = jnp.where(covered, tri_id, 0)
+    wv = w_tri[tid]  # [H, W, 3]
+    wr = ws / jnp.where(wv == 0.0, 1.0, wv)
+    denom = jnp.sum(wr, axis=-1, keepdims=True)
+    return wr / jnp.where(denom == 0.0, 1.0, denom)
+
+
 def interpolate_attribute(attr_tri, tri_id, ws, covered, fill=0.0):
     """Interpolate a per-vertex attribute over the frame.
 

@@ -156,7 +156,8 @@ def shade(setup, tri_id, tris, *, shading: str,
           flat_color=(1.0, 1.0, 1.0),
           normal_matrix=None,
           view_dir=(0.0, 0.0, -1.0),
-          y_start=0):
+          y_start=0,
+          w_tri=None):
     """Shade the frame from a visibility buffer.
 
     Args:
@@ -186,6 +187,9 @@ def shade(setup, tri_id, tris, *, shading: str,
     covered = tri_id != NO_TRIANGLE
     if attrs is not None:
         ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
+        if w_tri is not None:
+            from .resolve import perspective_correct_weights
+            ws = perspective_correct_weights(ws, w_tri, tri_id, covered)
         gb = interpolate_attribute(attrs, tri_id, ws, covered)
     else:
         gb = None

@@ -60,6 +60,12 @@ class RenderPass:
     cull_backfaces: bool = dataclasses.field(default=False,
                                              metadata=dict(static=True))
 
+    # Perspective-correct attribute interpolation (extension; the
+    # reference interpolates screen-space linear — Shaders.metal:157,162).
+    # Supported on the 'reference'/'pallas' backends' resolve path.
+    perspective_correct: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
     light: Optional[Light] = None
     texture: Optional[Texture] = None
     flat_color: jax.Array = dataclasses.field(
@@ -136,6 +142,16 @@ def render_triangles(rp: RenderPass, backend: str,
             setup, width=rp.width, height=out_h, y_start=y0)
         depth = jax.lax.stop_gradient(depth)
         tri_id = jax.lax.stop_gradient(tri_id)
+        if rp.perspective_correct:
+            # Perspective-correct interpolation needs per-pixel 1/w terms;
+            # use the XLA resolve path on the binned visibility buffer.
+            color = shade(
+                setup, tri_id, tris, shading=rp.shading,
+                colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
+                light=rp.light, texture=rp.texture,
+                flat_color=rp.flat_color, normal_matrix=normal_matrix,
+                y_start=y0, w_tri=_w[tris])
+            return Framebuffer(color=color, depth=depth)
         attrs, chans = gather_attribute_values(
             rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
             uvs=mesh.uvs,
@@ -166,6 +182,7 @@ def render_triangles(rp: RenderPass, backend: str,
         light=rp.light, texture=rp.texture,
         flat_color=rp.flat_color, normal_matrix=normal_matrix,
         y_start=y0,
+        w_tri=_w[tris] if rp.perspective_correct else None,
     )
     return Framebuffer(color=color, depth=depth)
 

@@ -139,8 +139,8 @@ def test_bin_stream_invariants():
         flags = ff[ct == tile]
         assert flags[0] == 1 or tile == ct[-1]  # tail chunks share last tile
     # Within a chunk run of one tile, ids ascend (ignoring -1 padding).
+    from software_renderer_tpu.ops.rasterize_pallas import CHUNK as chunk
     valid = ids >= 0
-    chunk = 32
     tile_of_entry = np.repeat(ct, chunk)
     for tile in np.unique(tile_of_entry):
         sel = ids[(tile_of_entry == tile) & valid]
