@@ -57,11 +57,28 @@ class TriangleSetup:
 def triangle_setup(screen, tris, width, height,
                    cull_backfaces: bool = False,
                    front_face_ccw: bool = True) -> TriangleSetup:
-    """Compute per-triangle raster coefficients.
+    """Compute per-triangle raster coefficients from indexed vertices.
 
     Args:
       screen: [N, 3] screen-space vertices (pixel x, pixel y, ndc z).
       tris: [T, 3] int vertex indices.
+    See :func:`triangle_setup_from_corners` for the other args.
+    """
+    return triangle_setup_from_corners(
+        screen[tris], width, height, cull_backfaces=cull_backfaces,
+        front_face_ccw=front_face_ccw)
+
+
+def triangle_setup_from_corners(v, width, height,
+                                cull_backfaces: bool = False,
+                                front_face_ccw: bool = True
+                                ) -> TriangleSetup:
+    """Compute per-triangle raster coefficients.
+
+    Args:
+      v: [T, 3, 3] screen-space triangle corners (pixel x, pixel y, ndc z)
+        — from ops/vertex.py corner_stage (preferred: the corner gather
+        stays in model space) or ``screen[tris]``.
       width, height: viewport size in pixels.
       cull_backfaces: drop triangles by winding (off by default — the
         reference renders both faces, e.g. its inward-normal sphere at
@@ -69,7 +86,6 @@ def triangle_setup(screen, tris, width, height,
       front_face_ccw: model-space winding convention; after the NDC y-flip a
         CCW model triangle has screen D > 0.
     """
-    v = screen[tris]  # [T, 3, 3]
     x1, y1, z1 = v[:, 0, 0], v[:, 0, 1], v[:, 0, 2]
     x2, y2, z2 = v[:, 1, 0], v[:, 1, 1], v[:, 1, 2]
     x3, y3, z3 = v[:, 2, 0], v[:, 2, 1], v[:, 2, 2]

