@@ -1,31 +1,35 @@
-"""Tile binning: per-tile triangle lists built on-device, and the binned
-visibility kernel.
+"""Tile binning: per-tile triangle lists built on-device, plus the binned
+visibility and G-buffer resolve kernels.
 
 This is the TPU-native answer to the reference's ROI architecture. The
 reference computes per-triangle ROIs on the GPU, then *reads them back to
 the CPU* and issues one rasterize dispatch per triangle over its ROI
 (GpuRenderer.swift:87-138 — the mid-frame host sync SURVEY.md §3.2 flags).
 Here the inverse mapping (tile -> triangles) is built entirely on-device
-with one stable sort, and the raster kernel walks each tile's own triangle
+with one stable sort, and the raster kernels walk each tile's own triangle
 list — work is O(sum of bbox-tile overlaps), not O(tiles x triangles),
 with zero host round-trips.
 
-Pipeline (all inside one jit):
+Bin build (all inside one jit; every step gather-based — no scatters):
  1. expansion  — each triangle emits up to KMAX (tile, tri) pairs from its
-    bbox tile span; triangles spanning more tiles go to the *overflow*
-    list (processed by the bbox-tested unbinned kernel and merged with a
-    lexicographic (depth, id) rule — identical to the reference's
-    first-drawn-wins tie semantics, but order-independent).
+    bbox tile span; triangles spanning more tiles, or past the pair
+    budget, go to the *overflow* list (processed by the bbox-tested
+    unbinned kernel and merged with a lexicographic (depth, id) rule —
+    identical to the reference's first-drawn-wins tie semantics, but
+    order-independent).
  2. argsort    — pairs sorted by tile id (stable, so each tile's list stays
     in ascending triangle order = reference encoder order).
  3. layout     — each tile's segment is padded to a CHUNK multiple and laid
     out densely; every tile owns >= 1 chunk so every output tile is
-    initialized. A scalar-prefetched chunk->tile map drives the kernel's
-    output BlockSpec (the grouped/"megablox" pattern): consecutive chunks
-    of one tile revisit the same VMEM block, so the z/id buffers stay
-    on-chip across the whole list.
- 4. kernel     — 1D grid over chunks; same exact edge/depth math as
-    ops/rasterize_pallas.py.
+    initialized. Slots map back to sorted entries by *inverting* the
+    layout (slot -> source via searchsorted), so the stream is produced by
+    one gather from a combined per-triangle table (raster records +
+    attribute planes) — a single [cap, W] gather feeds both kernels.
+ 4. kernels    — 1D grid over chunks; a scalar-prefetched chunk->tile map
+    drives the output BlockSpec (the grouped/"megablox" pattern):
+    consecutive chunks of one tile revisit the same VMEM block, so z/id
+    (visibility) and the G-buffer channels (resolve) stay on-chip across
+    the whole list. Same exact edge/depth math as ops/rasterize_pallas.py.
 """
 
 from __future__ import annotations
@@ -39,44 +43,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_pallas import (
-    CHUNK, REC_WIDTH, TILE_H, TILE_W, _poison_row, default_interpret,
+    CHUNK, TILE_H, TILE_W, _poison_row, default_interpret,
     pack_records, visibility_pallas_merge,
 )
-from .rasterize_ref import pixel_centers
 from .setup import TriangleSetup
 
 KMAX = 4             # max tiles per triangle in the binned stream
-OVERFLOW_CAP = 1024  # max huge triangles (spanning > KMAX tiles) per frame
+OVERFLOW_CAP = 1024  # max overflow triangles per frame
 # Binned-stream pair budget, in units of T (triangle count). Small
 # triangles average ~1.3 bbox-tile overlaps, so 2T of slots is generous;
 # triangles past the budget spill to the overflow list (still correct,
 # just slower). Keeping the stream near its *used* size matters: the
-# kernel's grid covers the whole static capacity, and poison tail chunks
-# cost real grid steps.
+# kernel's grid covers the whole static capacity.
 PAIR_BUDGET_FACTOR = 2
+
+# Combined stream-table column layout (see build_stream_table):
+# 0:2  a0 a1 | 2:4 b0 b1 | 4:6 c0 c1 | 6 Dabs | 7:10 za zb zc | 10 id
+# | 11:11+3A attribute planes (x, y, const triplets per channel)
+REC_BASE = 11
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class BinnedStream:
-    """Chunk-aligned per-tile triangle stream + overflow list."""
+class BinInfo:
+    """Per-tile list layout (indices only; tables are gathered by callers)."""
 
-    rec: jax.Array          # [cap, REC_WIDTH] f32 records in bin order
     ids: jax.Array          # [cap] i32 global triangle ids (-1 = inert)
     chunk_tile: jax.Array   # [cap//chunk] i32 tile id per chunk
     first_flag: jax.Array   # [cap//chunk] i32 1 = first chunk of its tile
-    overflow_rec: jax.Array  # [OVERFLOW_CAP, REC_WIDTH]
-    overflow_ids: jax.Array  # [OVERFLOW_CAP] i32
-    n_overflow: jax.Array    # [] i32 (> OVERFLOW_CAP => dropped triangles,
-    #                            surfaced as a diagnostic)
+    overflow_ids: jax.Array  # [ov_len] i32 overflow triangles (-1 = inert)
+    n_overflow: jax.Array    # [] i32 (> overflow capacity => dropped,
+    #                             surfaced as a diagnostic)
 
 
-def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
+def build_bins(setup: TriangleSetup, *, width: int, height: int,
                y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
                chunk: int = CHUNK, kmax: int = KMAX,
-               overflow_cap: int = OVERFLOW_CAP) -> BinnedStream:
-    """Build per-tile triangle lists from triangle bboxes. rec = packed
-    records (pack_records(setup), unpadded prefix rows used)."""
+               overflow_cap: int = OVERFLOW_CAP) -> BinInfo:
+    """Build per-tile triangle lists from triangle bboxes."""
     t = setup.num_triangles
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
@@ -96,14 +100,13 @@ def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
     valid = setup.valid & in_slice
     small = valid & (nspan <= kmax)
     # Pair budget: triangles whose cumulative pair demand exceeds the
-    # budget spill to the overflow list (correctness preserved; the
-    # overflow pass walks them per tile with bbox rejection).
+    # budget spill to the overflow list.
     budget_pairs = -(-PAIR_BUDGET_FACTOR * max(t, 1) // chunk) * chunk
     cum_pairs = jnp.cumsum(jnp.where(small, nspan, 0))
     binned = small & (cum_pairs <= budget_pairs)
     overflow = valid & ~binned
 
-    # 1. Expansion: pair k of triangle t covers tile (ty0 + k // span_w,
+    # 1. Expansion: pair k of triangle covers tile (ty0 + k // span_w,
     #    tx0 + k % span_w).
     k = jnp.arange(kmax, dtype=jnp.int32)
     dx = k[None, :] % span_w[:, None]
@@ -117,27 +120,32 @@ def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
     sorted_keys = keys[order]
     sorted_tri = (order // kmax).astype(jnp.int32)
 
-    # 3. Dense chunk-aligned layout.
+    # 3. Dense chunk-aligned layout, inverted slot -> source (gather, no
+    #    scatter).
     tile_range = jnp.arange(ntiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_keys, tile_range, side="left")
-    ends = jnp.searchsorted(sorted_keys, tile_range, side="right")
-    counts = (ends - starts).astype(jnp.int32)
+    starts = jnp.searchsorted(sorted_keys, tile_range,
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_keys, tile_range,
+                            side="right").astype(jnp.int32)
+    counts = ends - starts
     pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
 
     cap = int(budget_pairs) + ntiles * chunk
-    j = jnp.arange(t * kmax, dtype=jnp.int32)
-    key_j = sorted_keys
-    in_range = key_j < ntiles
-    key_c = jnp.clip(key_j, 0, ntiles - 1)
-    dst = jnp.where(in_range, pad_starts[key_c] + (j - starts[key_c]), cap)
-    ids = jnp.full((cap,), -1, jnp.int32).at[dst].set(sorted_tri,
-                                                      mode="drop")
+    d = jnp.arange(cap, dtype=jnp.int32)
+    tile_d = (jnp.searchsorted(pad_starts, d, side="right") - 1
+              ).astype(jnp.int32)
+    off = d - pad_starts[tile_d]
+    src = starts[tile_d] + off
+    slot_live = off < counts[tile_d]
+    ids = jnp.where(slot_live,
+                    sorted_tri[jnp.clip(src, 0, sorted_tri.shape[0] - 1)],
+                    -1)
 
     # Chunk -> tile map + first-chunk flags (scalar prefetch for the
-    # kernel's output BlockSpec). Tail chunks (beyond the last used one)
-    # resolve to the last tile with flag 0: no DMA switch, no compute.
+    # kernels' output BlockSpecs). Tail chunks (beyond the last used one)
+    # resolve to the last tile with flag 0: no DMA switch, no live work.
     n_chunks = cap // chunk
     cc = jnp.arange(n_chunks, dtype=jnp.int32)
     chunk_starts = pad_starts // chunk
@@ -146,34 +154,92 @@ def build_bins(setup: TriangleSetup, rec, *, width: int, height: int,
     first_flag = (cc == chunk_starts[jnp.clip(chunk_tile, 0, ntiles - 1)]
                   ).astype(jnp.int32)
 
-    # Gather records into bin order ([cap, REC_WIDTH]); -1 -> poison.
-    rec_binned = jnp.where(
-        (ids >= 0)[:, None],
-        rec[jnp.clip(ids, 0, rec.shape[0] - 1)],
-        _poison_row()[None, :],
-    )
-
-    # Overflow list: huge triangles, ascending id (reference draw order).
-    # Fixed chunk-aligned length regardless of T.
+    # Overflow list: ascending triangle id (reference draw order); fixed
+    # chunk-aligned length regardless of T.
     ov_len = -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
     ov_key = jnp.where(overflow, jnp.arange(t, dtype=jnp.int32), t)
     ov_sorted = jnp.full((ov_len,), t, jnp.int32).at[
         : min(t, ov_len)].set(jnp.sort(ov_key)[: min(t, ov_len)])
     ov_ids = jnp.where(ov_sorted < t, ov_sorted, -1)
-    ov_rec = jnp.where(
-        (ov_ids >= 0)[:, None],
-        rec[jnp.clip(ov_ids, 0, rec.shape[0] - 1)],
-        _poison_row()[None, :],
-    )
-    return BinnedStream(
-        rec=rec_binned, ids=ids, chunk_tile=chunk_tile,
-        first_flag=first_flag, overflow_rec=ov_rec, overflow_ids=ov_ids,
-        n_overflow=jnp.sum(overflow.astype(jnp.int32)),
-    )
+    return BinInfo(ids=ids, chunk_tile=chunk_tile, first_flag=first_flag,
+                   overflow_ids=ov_ids,
+                   n_overflow=jnp.sum(overflow.astype(jnp.int32)))
 
 
-def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
-                   z_ref, id_ref, *, tile_h, tile_w, chunk, gw):
+# ---------------------------------------------------------------------------
+# Combined stream table: raster records + attribute planes, gathered into
+# bin order ONCE and consumed by both kernels below.
+#
+# Screen-space-linear attributes (the reference's interpolation model,
+# Shaders.metal:157,162) are affine planes: attr(x, y) = px*x + py*y + pc,
+# so the deferred resolve needs no per-pixel gathers at all.
+# ---------------------------------------------------------------------------
+
+def attribute_planes(setup: TriangleSetup, attrs):
+    """[T, 3, A] per-vertex attribute values -> [T, A, 3] affine planes
+    (x, y, const coefficients per channel)."""
+    # planes[t, a, i] = sum_j coef[t, i, j] * attrs[t, j, a] * inv_area[t]
+    # Explicit multiply-sum: stays on the VPU in f32 (tiny contraction).
+    planes = jnp.sum(
+        setup.coef[:, None, :, :]          # [T, 1, i, j]
+        * attrs.transpose(0, 2, 1)[:, :, None, :],  # [T, A, 1, j]
+        axis=-1,
+    )  # [T, A, i]
+    return planes * setup.inv_area[:, None, None]
+
+
+def build_stream_table(setup: TriangleSetup, attrs=None):
+    """[T, REC_BASE + 3A] combined table: edge/depth record + id + planes.
+
+    attrs: optional [T, 3, A] per-vertex attribute values.
+    Returns (table, n_channels, poison_row).
+    """
+    t = setup.num_triangles
+    abs_d = jnp.abs(setup.area2) * setup.valid
+    cols = [
+        setup.coef[:, 0, 0:2],        # a0 a1
+        setup.coef[:, 1, 0:2],        # b0 b1
+        setup.coef[:, 2, 0:2],        # c0 c1
+        abs_d[:, None],               # |D|
+        setup.zplane,                 # za zb zc
+        jnp.arange(t, dtype=jnp.float32)[:, None],  # global id
+    ]
+    a = 0
+    if attrs is not None:
+        a = attrs.shape[-1]
+        planes = attribute_planes(setup, attrs)  # [T, A, 3]
+        cols.append(planes.reshape(t, 3 * a))
+    table = jnp.concatenate(cols, axis=-1)
+    poison = jnp.zeros((REC_BASE + 3 * a,), jnp.float32)
+    poison = poison.at[4:6].set(-1.0)   # c0 = c1 = -1: outside everywhere
+    poison = poison.at[9].set(jnp.inf)  # zc = +inf
+    poison = poison.at[10].set(-1.0)    # id = -1
+    table = jnp.where(setup.valid[:, None], table, poison)
+    return table, a, poison
+
+
+def gather_stream(table, ids, poison):
+    """Gather table rows into stream order; -1 ids become poison rows."""
+    rows = table[jnp.clip(ids, 0, table.shape[0] - 1)]
+    return jnp.where((ids >= 0)[:, None], rows, poison)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _tile_coords(tile, yoff, gw, tile_h, tile_w):
+    x0f = ((tile % gw) * tile_w).astype(jnp.float32)
+    y0f = ((tile // gw) * tile_h + yoff).astype(jnp.float32)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          .astype(jnp.float32) + (x0f + 0.5))
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          .astype(jnp.float32) + (y0f + 0.5))
+    return xs, ys
+
+
+def _binned_vis_kernel(ct_ref, ff_ref, yoff_ref, rec_ref, z_ref, id_ref, *,
+                       tile_h, tile_w, chunk, gw):
     """One grid step = one chunk of one tile's triangle list."""
     cc = pl.program_id(0)
 
@@ -182,22 +248,14 @@ def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
         z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
         id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
-    tile = ct_ref[cc]
-    x0f = ((tile % gw) * tile_w).astype(jnp.float32)
-    y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
-    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-          .astype(jnp.float32) + (x0f + 0.5))
-    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-          .astype(jnp.float32) + (y0f + 0.5))
+    xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
 
     def body(k, carry):
         zbuf, idbuf = carry
-        # Branchless: poison records (ids -1, padding/tail) have e0 < 0
-        # everywhere, so they never update — cheaper than a per-triangle
-        # branch since bins contain mostly-live entries. The bbox test is
-        # unnecessary — bin membership == bbox overlap. Same exact math as
-        # rasterize_pallas._visibility_kernel.
-        tri = rec_ref[k, 14].astype(jnp.int32)
+        # Branchless: poison records (padding/tail) have e0 < 0 everywhere
+        # so they never update. Bin membership == bbox overlap, so no bbox
+        # test either. Same exact math as rasterize_pallas.
+        tri = rec_ref[k, 10].astype(jnp.int32)
         e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
         e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
         e2 = rec_ref[k, 6] - e0 - e1
@@ -215,46 +273,114 @@ def _binned_kernel(ct_ref, ff_ref, yoff_ref, rec_ref,
     id_ref[:] = idbuf
 
 
-def visibility_binned_stream(setup: TriangleSetup, *, width: int,
-                             height: int, y_start=0, tile_h: int = TILE_H,
-                             tile_w: int = TILE_W, chunk: int = CHUNK,
-                             kmax: int = KMAX,
-                             overflow_cap: int = OVERFLOW_CAP,
-                             interpret: bool | None = None):
-    """Binned visibility pass returning (depth, tri_id, stream); the
-    stream is reused by the Pallas G-buffer resolve (gbuffer_binned)."""
+def _resolve_body(rec_ref, idbuf, xs, ys, chunk, n_channels):
+    def body(k, gb):
+        # gb is a tuple of [tile_h, tile_w] channel planes (2D keeps Mosaic
+        # on plain VPU selects). Branchless: a per-triangle cond would copy
+        # all channel carries through both branches. tri >= 0 guard keeps
+        # inert rows from matching uncovered (-1) pixels.
+        tri = rec_ref[k, REC_BASE - 1].astype(jnp.int32)
+        mask = jnp.logical_and(idbuf == tri, tri >= 0)
+        return tuple(
+            jnp.where(mask,
+                      rec_ref[k, REC_BASE + 3 * a] * xs
+                      + rec_ref[k, REC_BASE + 3 * a + 1] * ys
+                      + rec_ref[k, REC_BASE + 3 * a + 2],
+                      gb[a])
+            for a in range(n_channels))
+
+    return body
+
+
+def _resolve_kernel(ct_ref, ff_ref, yoff_ref, rec_ref, id_in_ref, gb_ref, *,
+                    tile_h, tile_w, chunk, gw, n_channels):
+    cc = pl.program_id(0)
+
+    @pl.when(ff_ref[cc] == 1)
+    def _init():
+        gb_ref[:] = jnp.zeros((n_channels, tile_h, tile_w), jnp.float32)
+
+    xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
+    body = _resolve_body(rec_ref, id_in_ref[:], xs, ys, chunk, n_channels)
+    gb = jax.lax.fori_loop(
+        0, chunk, body, tuple(gb_ref[a] for a in range(n_channels)),
+        unroll=chunk)
+    for a in range(n_channels):
+        gb_ref[a] = gb[a]
+
+
+def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, yoff_ref, rec_ref,
+                          id_in_ref, gb_in_ref, gb_ref, *, tile_h, tile_w,
+                          chunk, gw, n_channels):
+    """Overflow resolve: per tile, walk the (replicated) overflow stream,
+    seeding the G-buffer from the binned pass output."""
+    cc = pl.program_id(0)
+
+    @pl.when(ff_ref[cc] == 1)
+    def _seed():
+        gb_ref[:] = gb_in_ref[:]
+
+    xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
+    body = _resolve_body(rec_ref, id_in_ref[:], xs, ys, chunk, n_channels)
+    gb = jax.lax.fori_loop(
+        0, chunk, body, tuple(gb_ref[a] for a in range(n_channels)),
+        unroll=chunk)
+    for a in range(n_channels):
+        gb_ref[a] = gb[a]
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def _grid_geometry(width, height, tile_h, tile_w):
+    pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
+    return pad_h, pad_w, (height + pad_h) // tile_h, (width + pad_w) // tile_w
+
+
+def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
+                    height: int, y_start=0, tile_h: int = TILE_H,
+                    tile_w: int = TILE_W, chunk: int = CHUNK,
+                    kmax: int = KMAX, overflow_cap: int = OVERFLOW_CAP,
+                    interpret: bool | None = None):
+    """Full binned raster path.
+
+    attrs: optional [T, 3, A] per-vertex attribute values to interpolate.
+    Returns (depth [H, W], tri_id [H, W], gbuffer [H, W, A] or None).
+    """
     if interpret is None:
         interpret = default_interpret()
-    rec = pack_records(setup, chunk)
-    stream = build_bins(setup, rec, width=width, height=height,
-                        y_start=y_start, tile_h=tile_h, tile_w=tile_w,
-                        chunk=chunk, kmax=kmax, overflow_cap=overflow_cap)
+    info = build_bins(setup, width=width, height=height, y_start=y_start,
+                      tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
+                      overflow_cap=overflow_cap)
+    table, a, poison = build_stream_table(setup, attrs)
+    stream = gather_stream(table, info.ids, poison)
+    wtot = table.shape[-1]
 
-    pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
-    gh, gw = (height + pad_h) // tile_h, (width + pad_w) // tile_w
-    n_chunks = stream.rec.shape[0] // chunk
+    pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
+    n_chunks = stream.shape[0] // chunk
+    yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
+    tile_idx = lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw)
 
-    kernel = functools.partial(_binned_kernel, tile_h=tile_h,
-                               tile_w=tile_w, chunk=chunk, gw=gw)
+    # --- visibility pass --------------------------------------------------
+    vis_kernel = functools.partial(_binned_vis_kernel, tile_h=tile_h,
+                                   tile_w=tile_w, chunk=chunk, gw=gw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # chunk_tile, first_flag, y_offset
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, REC_WIDTH),
-                         lambda cc, ct, ff, yo: (cc, 0),
+            pl.BlockSpec((chunk, wtot), lambda cc, ct, ff, yo: (cc, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+            pl.BlockSpec((tile_h, tile_w), tile_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+            pl.BlockSpec((tile_h, tile_w), tile_idx,
                          memory_space=pltpu.VMEM),
         ),
     )
     depth, tri_id = pl.pallas_call(
-        kernel,
+        vis_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
@@ -263,156 +389,45 @@ def visibility_binned_stream(setup: TriangleSetup, *, width: int,
                                  jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(stream.chunk_tile, stream.first_flag,
-      jnp.asarray(y_start, jnp.int32).reshape(1), stream.rec)
-    if pad_h or pad_w:
-        depth = depth[:height, :width]
-        tri_id = tri_id[:height, :width]
+    )(info.chunk_tile, info.first_flag, yoff, stream)
+    depth_s = depth[:height, :width] if (pad_h or pad_w) else depth
+    tri_id_s = tri_id[:height, :width] if (pad_h or pad_w) else tri_id
 
-    # Overflow pass: only taken when huge triangles exist.
-    def with_overflow(args):
-        depth, tri_id = args
+    # --- overflow visibility (rare; lex (depth, id) tie merge) -------------
+    ov_rec16 = gather_stream(pack_records(setup, chunk),
+                             info.overflow_ids, _poison_row())
+
+    def vis_with_overflow(args):
+        d, i = args
         return visibility_pallas_merge(
-            stream.overflow_rec, depth, tri_id,
-            width=width, height=height, y_start=y_start,
+            ov_rec16, d, i, width=width, height=height, y_start=y_start,
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, lex_tie=True,
             interpret=interpret)
 
-    depth, tri_id = jax.lax.cond(
-        stream.n_overflow > 0, with_overflow, lambda args: args,
-        (depth, tri_id))
-    return depth, tri_id, stream
+    depth_s, tri_id_s = jax.lax.cond(
+        info.n_overflow > 0, vis_with_overflow, lambda args: args,
+        (depth_s, tri_id_s))
 
+    if a == 0:
+        return depth_s, tri_id_s, None
 
-@functools.partial(jax.jit,
-                   static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "chunk", "kmax", "overflow_cap",
-                                    "interpret"))
-def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
-                      y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = CHUNK, kmax: int = KMAX,
-                      overflow_cap: int = OVERFLOW_CAP,
-                      interpret: bool | None = None):
-    """Binned visibility pass. Same contract as visibility_ref /
-    visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
-    depth, tri_id, _ = visibility_binned_stream(
-        setup, width=width, height=height, y_start=y_start, tile_h=tile_h,
-        tile_w=tile_w, chunk=chunk, kmax=kmax, overflow_cap=overflow_cap,
-        interpret=interpret)
-    return depth, tri_id
-
-
-# ---------------------------------------------------------------------------
-# Deferred G-buffer resolve in Pallas.
-#
-# Screen-space-linear attributes (the reference's interpolation model,
-# Shaders.metal:157,162) are affine planes: attr(x, y) = px*x + py*y + pc.
-# Instead of per-pixel XLA gathers of per-triangle data (slow on TPU), a
-# second pass over the *same binned stream* evaluates each triangle's
-# attribute planes over its tile and selects them where the visibility
-# buffer says that triangle won. Cost is O(overlap pairs), like the
-# visibility pass, with an any(mask) early-out for fully-occluded
-# triangles.
-# ---------------------------------------------------------------------------
-
-def attribute_planes(setup: TriangleSetup, attrs):
-    """[T, 3, A] per-vertex attributes -> [T, 3, A] affine planes
-    (rows: x, y, 1 coefficients)."""
-    # planes[t, i, a] = sum_j coef[t, i, j] * attrs[t, j, a] * inv_area[t]
-    # Explicit multiply-sum: stays on the VPU in f32 (tiny contraction).
-    planes = jnp.sum(setup.coef[:, :, :, None] * attrs[:, None, :, :],
-                     axis=2)
-    return planes * setup.inv_area[:, None, None]
-
-
-def pack_attr_records(planes, ids):
-    """Gather attribute planes into stream order: [cap, 3A+1] f32 rows of
-    (px0, py0, pc0, px1, ..., id). -1 ids become inert rows."""
-    t, _, a = planes.shape
-    flat = planes.transpose(0, 2, 1).reshape(t, 3 * a)  # per-channel x,y,1
-    rows = jnp.where((ids >= 0)[:, None],
-                     flat[jnp.clip(ids, 0, t - 1)], 0.0)
-    idcol = ids.astype(jnp.float32)[:, None]
-    return jnp.concatenate([rows, idcol], axis=-1)
-
-
-def _resolve_kernel(ct_ref, ff_ref, yoff_ref, rec_ref, id_in_ref, gb_ref, *,
-                    tile_h, tile_w, chunk, gw, n_channels):
-    """One grid step = one chunk of one tile's list; gb [A, tile_h, tile_w]."""
-    cc = pl.program_id(0)
-
-    @pl.when(ff_ref[cc] == 1)
-    def _init():
-        gb_ref[:] = jnp.zeros((n_channels, tile_h, tile_w), jnp.float32)
-
-    tile = ct_ref[cc]
-    x0f = ((tile % gw) * tile_w).astype(jnp.float32)
-    y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
-    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-          .astype(jnp.float32) + (x0f + 0.5))
-    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-          .astype(jnp.float32) + (y0f + 0.5))
-    idbuf = id_in_ref[:]
-
-    def body(k, gb):
-        # gb is a tuple of [tile_h, tile_w] channel planes (2D arrays keep
-        # Mosaic on plain VPU selects; a stacked 3D carry would relayout).
-        # Branchless: a per-triangle cond would copy all channel carries
-        # through both branches — costlier than the selects it skips.
-        # Inert rows (id -1) match no pixel (idbuf >= -1 only where
-        # uncovered... uncovered pixels hold -1, so mask must exclude it).
-        tri = rec_ref[k, 3 * n_channels].astype(jnp.int32)
-        mask = jnp.logical_and(idbuf == tri, tri >= 0)
-        return tuple(
-            jnp.where(mask,
-                      rec_ref[k, 3 * a] * xs
-                      + rec_ref[k, 3 * a + 1] * ys
-                      + rec_ref[k, 3 * a + 2],
-                      gb[a])
-            for a in range(n_channels))
-
-    gb = jax.lax.fori_loop(
-        0, chunk, body, tuple(gb_ref[a] for a in range(n_channels)),
-        unroll=chunk)
-    for a in range(n_channels):
-        gb_ref[a] = gb[a]
-
-
-def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
-                   height: int, y_start=0, tile_h: int = TILE_H,
-                   tile_w: int = TILE_W, chunk: int = CHUNK,
-                   interpret: bool | None = None):
-    """Evaluate the winning triangle's attribute planes per pixel.
-
-    planes: [T, 3, A]; tri_id: [H, W] winners (from visibility_binned with
-    the same stream). Returns gb [H, W, A].
-    """
-    if interpret is None:
-        interpret = default_interpret()
-    a = planes.shape[-1]
-    rec_attr = pack_attr_records(planes, stream.ids)
-    pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
-    gh, gw = (height + pad_h) // tile_h, (width + pad_w) // tile_w
-    n_chunks = rec_attr.shape[0] // chunk
-    tid = tri_id
+    # --- G-buffer resolve pass ---------------------------------------------
+    tid_p = tri_id_s
     if pad_h or pad_w:
-        tid = jnp.pad(tid, ((0, pad_h), (0, pad_w)), constant_values=-1)
-
-    kernel = functools.partial(_resolve_kernel, tile_h=tile_h,
-                               tile_w=tile_w, chunk=chunk, gw=gw,
-                               n_channels=a)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+        tid_p = jnp.pad(tid_p, ((0, pad_h), (0, pad_w)),
+                        constant_values=-1)
+    res_kernel = functools.partial(_resolve_kernel, tile_h=tile_h,
+                                   tile_w=tile_w, chunk=chunk, gw=gw,
+                                   n_channels=a)
+    grid_spec_r = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, 3 * a + 1),
-                         lambda cc, ct, ff, yo: (cc, 0),
+            pl.BlockSpec((chunk, wtot), lambda cc, ct, ff, yo: (cc, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda cc, ct, ff, yo: (ct[cc] // gw, ct[cc] % gw),
+            pl.BlockSpec((tile_h, tile_w), tile_idx,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -421,35 +436,34 @@ def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
             memory_space=pltpu.VMEM),
     )
     gb = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        res_kernel,
+        grid_spec=grid_spec_r,
         out_shape=jax.ShapeDtypeStruct(
             (a, height + pad_h, width + pad_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(stream.chunk_tile, stream.first_flag,
-      jnp.asarray(y_start, jnp.int32).reshape(1), rec_attr, tid)
+    )(info.chunk_tile, info.first_flag, yoff, stream, tid_p)
     gb = gb[:, :height, :width]
 
-    # Overflow triangles also need their attributes resolved: walk the
-    # overflow list once per tile, merging into the G-buffer.
-    def with_overflow(gb):
-        ov_rec = pack_attr_records(planes, stream.overflow_ids)
-        nov_chunks = ov_rec.shape[0] // chunk
+    # --- overflow resolve (rare) --------------------------------------------
+    def gb_with_overflow(gb):
+        ov_stream = gather_stream(table, info.overflow_ids, poison)
+        nov_chunks = ov_stream.shape[0] // chunk
         ntiles = gh * gw
         ct = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), nov_chunks)
-        ff = jnp.tile(
-            (jnp.arange(nov_chunks, dtype=jnp.int32) == 0
-             ).astype(jnp.int32), ntiles)
+        ff = jnp.tile((jnp.arange(nov_chunks, dtype=jnp.int32) == 0
+                       ).astype(jnp.int32), ntiles)
         cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
         gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
-        grid_spec2 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # ct, ff (merge flag), cyc, y_offset
+        merge_kernel = functools.partial(
+            _resolve_merge_kernel, tile_h=tile_h, tile_w=tile_w,
+            chunk=chunk, gw=gw, n_channels=a)
+        grid_spec_m = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # ct, ff, cyc, y_offset
             grid=(ntiles * nov_chunks,),
             in_specs=[
-                pl.BlockSpec((chunk, 3 * a + 1),
+                pl.BlockSpec((chunk, wtot),
                              lambda cc, ct, ff, cyc, yo: (cyc[cc], 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_h, tile_w),
@@ -467,54 +481,35 @@ def gbuffer_binned(stream: BinnedStream, planes, tri_id, *, width: int,
                 (0, ct[cc] // gw, ct[cc] % gw),
                 memory_space=pltpu.VMEM),
         )
-
-        def merge_kernel(ct_ref, ff_ref, cyc_ref, yoff_ref, rec_ref,
-                         id_in_ref, gb_in_ref, gb_ref):
-            cc = pl.program_id(0)
-
-            @pl.when(ff_ref[cc] == 1)
-            def _seed():
-                gb_ref[:] = gb_in_ref[:]
-
-            tile = ct_ref[cc]
-            x0f = ((tile % gw) * tile_w).astype(jnp.float32)
-            y0f = ((tile // gw) * tile_h + yoff_ref[0]).astype(jnp.float32)
-            xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-                  .astype(jnp.float32) + (x0f + 0.5))
-            ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-                  .astype(jnp.float32) + (y0f + 0.5))
-            idbuf = id_in_ref[:]
-
-            def body(k, gb):
-                tri = rec_ref[k, 3 * a].astype(jnp.int32)
-                mask = jnp.logical_and(idbuf == tri, tri >= 0)
-                return tuple(
-                    jnp.where(mask,
-                              rec_ref[k, 3 * ch] * xs
-                              + rec_ref[k, 3 * ch + 1] * ys
-                              + rec_ref[k, 3 * ch + 2],
-                              gb[ch])
-                    for ch in range(a))
-
-            gb = jax.lax.fori_loop(
-                0, chunk, body, tuple(gb_ref[ch] for ch in range(a)),
-                unroll=chunk)
-            for ch in range(a):
-                gb_ref[ch] = gb[ch]
-
         out = pl.pallas_call(
             merge_kernel,
-            grid_spec=grid_spec2,
+            grid_spec=grid_spec_m,
             out_shape=jax.ShapeDtypeStruct(
                 (a, height + pad_h, width + pad_w), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+                dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(ct, ff, cyc, jnp.asarray(y_start, jnp.int32).reshape(1),
-          ov_rec, tid, gb_p)
+        )(ct, ff, cyc, yoff, ov_stream, tid_p, gb_p)
         return out[:, :height, :width]
 
-    gb = jax.lax.cond(stream.n_overflow > 0, with_overflow,
+    gb = jax.lax.cond(info.n_overflow > 0, gb_with_overflow,
                       lambda g: g, gb)
-    return jnp.moveaxis(gb, 0, -1)  # [H, W, A]
+    return depth_s, tri_id_s, jnp.moveaxis(gb, 0, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "chunk", "kmax", "overflow_cap",
+                                    "interpret"))
+def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
+                      y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      chunk: int = CHUNK, kmax: int = KMAX,
+                      overflow_cap: int = OVERFLOW_CAP,
+                      interpret: bool | None = None):
+    """Binned visibility pass. Same contract as visibility_ref /
+    visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
+    depth, tri_id, _ = binned_pipeline(
+        setup, None, width=width, height=height, y_start=y_start,
+        tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
+        overflow_cap=overflow_cap, interpret=interpret)
+    return depth, tri_id

@@ -137,17 +137,20 @@ def render_triangles(rp: RenderPass, backend: str,
     if backend == "binned":
         # Fast path: binned visibility + Pallas plane-evaluation resolve
         # (no per-pixel gathers).
-        from .ops.binning import (attribute_planes, gbuffer_binned,
-                                  visibility_binned_stream)
+        from .ops.binning import binned_pipeline
         from .ops.shading import gather_attribute_values, shade_gbuffer
 
-        depth, tri_id, stream = visibility_binned_stream(
-            setup, width=rp.width, height=out_h, y_start=y0)
-        depth = jax.lax.stop_gradient(depth)
-        tri_id = jax.lax.stop_gradient(tri_id)
+        attrs, chans = gather_attribute_values(
+            rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+            uvs=mesh.uvs,
+            has_light=rp.light is not None and mesh.normals is not None)
         if rp.perspective_correct:
             # Perspective-correct interpolation needs per-pixel 1/w terms;
             # use the XLA resolve path on the binned visibility buffer.
+            depth, tri_id, _ = binned_pipeline(
+                setup, None, width=rp.width, height=out_h, y_start=y0)
+            depth = jax.lax.stop_gradient(depth)
+            tri_id = jax.lax.stop_gradient(tri_id)
             color = shade(
                 setup, tri_id, tris, shading=rp.shading,
                 colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
@@ -155,16 +158,10 @@ def render_triangles(rp: RenderPass, backend: str,
                 flat_color=rp.flat_color, normal_matrix=normal_matrix,
                 y_start=y0, w_tri=w_c)
             return Framebuffer(color=color, depth=depth)
-        attrs, chans = gather_attribute_values(
-            rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
-            uvs=mesh.uvs,
-            has_light=rp.light is not None and mesh.normals is not None)
-        if attrs is not None:
-            planes = attribute_planes(setup, attrs)
-            gb = gbuffer_binned(stream, planes, tri_id, width=rp.width,
-                                height=out_h, y_start=y0)
-        else:
-            gb = None
+        depth, tri_id, gb = binned_pipeline(
+            setup, attrs, width=rp.width, height=out_h, y_start=y0)
+        depth = jax.lax.stop_gradient(depth)
+        tri_id = jax.lax.stop_gradient(tri_id)
         covered = tri_id != -1
         color = shade_gbuffer(gb, covered, shading=rp.shading, chans=chans,
                               light=rp.light, texture=rp.texture,

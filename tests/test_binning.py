@@ -102,8 +102,7 @@ def test_binned_gbuffer_shading_matches_reference():
 def test_binned_pair_budget_spills_to_overflow():
     # More pairs than the budget: extra triangles must still render
     # (via the overflow path), not vanish.
-    from software_renderer_tpu.ops.binning import (build_bins,
-                                                   PAIR_BUDGET_FACTOR)
+    from software_renderer_tpu.ops.binning import build_bins
     rng = np.random.default_rng(1)
     n_tri = 40
     base = rng.uniform(-0.9, 0.9, size=(n_tri, 1, 3))
@@ -112,8 +111,7 @@ def test_binned_pair_budget_spills_to_overflow():
     pts[:, 2] = rng.uniform(0.1, 0.9, size=len(pts))
     tris = np.arange(3 * n_tri).reshape(n_tri, 3)
     s = setup_for(pts, tris, 512, 256)
-    rec = pack_records(s)
-    stream = build_bins(s, rec, width=512, height=256)
+    info = build_bins(s, width=512, height=256)
     # Some triangles should have spilled for this setup to be meaningful;
     # if not, the scene is too small — still assert correctness.
     d_ref, id_ref = visibility_ref(s, width=512, height=256)
@@ -128,11 +126,10 @@ def test_bin_stream_invariants():
     positions[:, 2] = 0.5
     tris = rng.integers(0, n, size=(15, 3))
     s = setup_for(positions, tris, 128, 64)
-    rec = pack_records(s)
-    stream = build_bins(s, rec, width=128, height=64)
-    ids = np.asarray(stream.ids)
-    ct = np.asarray(stream.chunk_tile)
-    ff = np.asarray(stream.first_flag)
+    info = build_bins(s, width=128, height=64)
+    ids = np.asarray(info.ids)
+    ct = np.asarray(info.chunk_tile)
+    ff = np.asarray(info.first_flag)
     # chunk_tile non-decreasing; exactly one first flag per visited tile.
     assert (np.diff(ct) >= 0).all()
     for tile in np.unique(ct):
