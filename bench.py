@@ -57,7 +57,7 @@ def main():
     # tunnel) is amortized out of the per-frame figure — the steady-state
     # rendering regime.
     base_model_proj = rp.transform
-    frames_per_call = int(os.environ.get("BENCH_FRAMES_PER_CALL", "8"))
+    frames_per_call = int(os.environ.get("BENCH_FRAMES_PER_CALL", "16"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     def transform_of(i):

@@ -41,3 +41,34 @@ def render_batch(rp: RenderPass, transforms, backend: str = "pallas"
 def animation_transforms(scene_transform_fn, times):
     """[B] times -> [B, 4, 4] via a time-parametrized transform fn."""
     return jax.vmap(scene_transform_fn)(jnp.asarray(times, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("backend", "vmap_chunk"))
+def render_batch_chunked(rp: RenderPass, transforms,
+                         backend: str = "binned",
+                         vmap_chunk: int = 8) -> Framebuffer:
+    """Config-5-scale batches with bounded memory: scan over groups of
+    ``vmap_chunk`` vmapped frames.
+
+    A flat vmap over 64 frames at 1080p materializes every pipeline
+    intermediate 64x (tens of GB); scanning groups keeps peak memory at
+    vmap_chunk frames while still amortizing dispatch and letting XLA
+    pipeline across frames.
+    """
+    transforms = jnp.asarray(transforms, jnp.float32)
+    b = transforms.shape[0]
+    assert b % vmap_chunk == 0, (b, vmap_chunk)
+    groups = transforms.reshape(b // vmap_chunk, vmap_chunk, 4, 4)
+
+    def one(t):
+        fb = render(dataclasses.replace(rp, transform=t), backend=backend)
+        return fb.color, fb.depth
+
+    def group(_, ts):
+        return None, jax.vmap(one)(ts)
+
+    _, (color, depth) = jax.lax.scan(group, None, groups)
+    return Framebuffer(
+        color=color.reshape((b,) + color.shape[2:]),
+        depth=depth.reshape((b,) + depth.shape[2:]),
+    )
