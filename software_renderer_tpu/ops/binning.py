@@ -48,7 +48,7 @@ from .rasterize_pallas import (
 )
 from .setup import TriangleSetup
 
-KMAX = 4             # max tiles per triangle in the binned stream
+KMAX = 8             # max tiles per triangle in the binned stream
 OVERFLOW_CAP = 1024  # max overflow triangles per frame
 # Binned-stream pair budget, in units of T (triangle count). Small
 # triangles average ~1.3 bbox-tile overlaps, so 2T of slots is generous;
@@ -349,9 +349,9 @@ def _resolve_kernel(ct_ref, ff_ref, lv_ref, yoff_ref, rec_ref, id_in_ref,
             gb_ref[a] = gb[a]
 
 
-def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, yoff_ref, rec_ref,
-                          id_in_ref, gb_in_ref, gb_ref, *, tile_h, tile_w,
-                          chunk, gw, n_channels):
+def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
+                          rec_ref, id_in_ref, gb_in_ref, gb_ref, *, tile_h,
+                          tile_w, chunk, gw, n_channels):
     """Overflow resolve: per tile, walk the (replicated) overflow stream,
     seeding the G-buffer from the binned pass output."""
     cc = pl.program_id(0)
@@ -445,6 +445,7 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
                                  info.overflow_ids, _poison_row())
         return visibility_pallas_merge(
             ov_rec16, d, i, width=width, height=height, y_start=y_start,
+            n_live=info.n_overflow,
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, lex_tie=True,
             interpret=interpret)
 
@@ -499,29 +500,30 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
         ff = jnp.tile((jnp.arange(nov_chunks, dtype=jnp.int32) == 0
                        ).astype(jnp.int32), ntiles)
         cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
+        lv = (cyc * chunk < info.n_overflow).astype(jnp.int32)
         gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
         merge_kernel = functools.partial(
             _resolve_merge_kernel, tile_h=tile_h, tile_w=tile_w,
             chunk=chunk, gw=gw, n_channels=a)
         grid_spec_m = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # ct, ff, cyc, y_offset
+            num_scalar_prefetch=5,  # ct, ff, cyc, lv, y_offset
             grid=(ntiles * nov_chunks,),
             in_specs=[
                 pl.BlockSpec((chunk, wtot),
-                             lambda cc, ct, ff, cyc, yo: (cyc[cc], 0),
+                             lambda cc, ct, ff, cyc, lv, yo: (cyc[cc], 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_h, tile_w),
-                             lambda cc, ct, ff, cyc, yo:
+                             lambda cc, ct, ff, cyc, lv, yo:
                              (ct[cc] // gw, ct[cc] % gw),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((a, tile_h, tile_w),
-                             lambda cc, ct, ff, cyc, yo:
+                             lambda cc, ct, ff, cyc, lv, yo:
                              (0, ct[cc] // gw, ct[cc] % gw),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (a, tile_h, tile_w),
-                lambda cc, ct, ff, cyc, yo:
+                lambda cc, ct, ff, cyc, lv, yo:
                 (0, ct[cc] // gw, ct[cc] % gw),
                 memory_space=pltpu.VMEM),
         )
@@ -533,7 +535,7 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(ct, ff, cyc, yoff, ov_stream, tid_p, gb_p)
+        )(ct, ff, cyc, lv, yoff, ov_stream, tid_p, gb_p)
         return out[:, :height, :width]
 
     gb = jax.lax.cond(info.n_overflow > 0, gb_with_overflow,

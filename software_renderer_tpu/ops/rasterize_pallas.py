@@ -104,7 +104,7 @@ def pack_records(setup: TriangleSetup, chunk: int = CHUNK) -> jax.Array:
     return rec
 
 
-def _visibility_kernel(yoff_ref, rec_ref, *rest, tile_h, tile_w,
+def _visibility_kernel(yoff_ref, nlive_ref, rec_ref, *rest, tile_h, tile_w,
                        chunk, merge, lex_tie):
     """rec_ref lives in SMEM: per-triangle scalars are read with dynamic
     indices (native scalar loads), then broadcast into tile-wide VPU ops.
@@ -177,10 +177,12 @@ def _visibility_kernel(yoff_ref, rec_ref, *rest, tile_h, tile_w,
         return jax.lax.cond(overlap, rasterize,
                             lambda z, i: (z, i), zbuf, idbuf)
 
-    zbuf, idbuf = jax.lax.fori_loop(
-        0, chunk, body, (z_ref[:], id_ref[:]))
-    z_ref[:] = zbuf
-    id_ref[:] = idbuf
+    @pl.when(c * chunk < nlive_ref[0])
+    def _work():
+        zbuf, idbuf = jax.lax.fori_loop(
+            0, chunk, body, (z_ref[:], id_ref[:]))
+        z_ref[:] = zbuf
+        id_ref[:] = idbuf
 
 
 def default_interpret() -> bool:
@@ -194,7 +196,7 @@ def _pad_hw(height, width, tile_h, tile_w):
 
 
 def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
-                            height: int, y_start=0,
+                            height: int, y_start=0, n_live=None,
                             tile_h: int = TILE_H, tile_w: int = TILE_W,
                             chunk: int = CHUNK, lex_tie: bool = True,
                             interpret: bool | None = None):
@@ -203,6 +205,8 @@ def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
 
     rec: [T_pad, REC_WIDTH] records (col 14 carries global ids; -1
     entries are inert); z_in/id_in: [H, W] buffers to merge into.
+    n_live: optional traced count of live leading records — chunks past it
+    are skipped entirely (the overflow list is usually nearly empty).
     """
     if interpret is None:
         interpret = default_interpret()
@@ -226,6 +230,8 @@ def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
         in_specs=[
             pl.BlockSpec((1,), lambda ty, tx, c: (0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
                          memory_space=pltpu.SMEM),
             tile_spec, tile_spec,
@@ -241,7 +247,9 @@ def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(y_start, jnp.int32).reshape(1), rec, z_in, id_in)
+    )(jnp.asarray(y_start, jnp.int32).reshape(1),
+      jnp.asarray(t_pad if n_live is None else n_live,
+                  jnp.int32).reshape(1), rec, z_in, id_in)
     if pad_h or pad_w:
         depth = depth[:height, :width]
         tri_id = tri_id[:height, :width]
@@ -280,6 +288,8 @@ def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
         in_specs=[
             pl.BlockSpec((1,), lambda ty, tx, c: (0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -294,7 +304,8 @@ def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(y_start, jnp.int32).reshape(1), rec)
+    )(jnp.asarray(y_start, jnp.int32).reshape(1),
+      jnp.asarray(setup.num_triangles, jnp.int32).reshape(1), rec)
     if pad_h or pad_w:
         depth = depth[:height, :width]
         tri_id = tri_id[:height, :width]
