@@ -48,7 +48,7 @@ from .rasterize_pallas import (
 )
 from .setup import TriangleSetup
 
-KMAX = 8             # max tiles per triangle in the binned stream
+KMAX = 12            # max tiles per triangle in the binned stream
 OVERFLOW_CAP = 1024  # max overflow triangles per frame
 # Binned-stream pair budget, in units of T (triangle count). Small
 # triangles average ~1.3 bbox-tile overlaps, so 2T of slots is generous;
