@@ -42,11 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .setup import TriangleSetup
 
-# Tile geometry: (sublane x lane)-aligned f32 tiles. 32x128 = 16 KB/buffer.
-# Swept on TPU v5e at 1080p/100k tris (with dead-chunk skipping in place):
-# 32x128+chunk 64 is the sweet spot — smaller tiles pay per-chunk overhead,
-# larger ones pay VPU pixel work per (triangle, tile) pair.
-TILE_H = 32
+# Tile geometry: (sublane x lane)-aligned f32 tiles. 64x128 = 32 KB/buffer.
+# Swept on TPU v5e at 1080p/100k tris across the full benchmark animation:
+# 64x128+chunk 64 wins (32 FPS vs 26 at 32x128) — smaller tiles double
+# vertical bbox spans, inflating bin pairs and overflow at steep angles.
+TILE_H = 64
 TILE_W = 128
 # Triangles per setup-record block.
 CHUNK = 64
