@@ -36,6 +36,51 @@ from software_renderer_tpu.models import scenes  # noqa: E402
 from software_renderer_tpu.ops import transforms as tf  # noqa: E402
 
 
+def bench_config5(rp, n_tris, iters):
+    """Config 5: batched render over 64 animated frames (vmap groups
+    scanned to bound memory)."""
+    import jax
+    from software_renderer_tpu.parallel.batch import render_batch_chunked
+
+    n_frames = int(os.environ.get("BENCH_BATCH", "64"))
+    times = jnp.arange(n_frames, dtype=jnp.float32) / 60.0
+    transforms = jax.vmap(
+        lambda t: rp.transform @ tf.rotation_matrix(
+            tf.quat_from_axis_angle(
+                tf.normalize(jnp.array([1.0, 1.0, 0.0], jnp.float32)), t))
+    )(times)
+
+    # vmap width: wide vmap inflates every pipeline intermediate by the
+    # chunk factor; measured on v5e, scan-pipelined frames (chunk 1) beat
+    # vmap x4 by ~2x at this scene size. The knob stays for smaller scenes.
+    vmap_chunk = int(os.environ.get("BENCH_VMAP_CHUNK", "1"))
+
+    def run(shift):
+        fb = render_batch_chunked(
+            rp, transforms @ tf.rotation_matrix(
+                tf.quat_from_axis_angle(
+                    jnp.array([0.0, 1.0, 0.0], jnp.float32), shift)),
+            backend="binned", vmap_chunk=vmap_chunk)
+        return fb.color[:, ::101, ::101]
+
+    result = bench_frame(
+        run, lambda i: (jnp.float32(i) * 0.01,),
+        name=f"config5 batched x{n_frames} {rp.width}x{rp.height} "
+             f"{n_tris} tris",
+        triangles=n_tris, frames_per_call=n_frames,
+        warmup=1, iters=max(iters // 4, 2))
+    print(result, file=sys.stderr)
+    print(json.dumps({
+        "metric": (f"FPS (batched x{n_frames}) at {rp.width}x{rp.height}, "
+                   f"{n_tris}-triangle textured scene (config5); p50 "
+                   f"{result.p50_ms:.3f} ms/frame, "
+                   f"{result.mtri_s:.1f} Mtri/s"),
+        "value": round(result.fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(result.fps / 60.0, 3),
+    }))
+
+
 def main():
     scene_name = os.environ.get("BENCH_SCENE", "config4")
     iters = int(os.environ.get("BENCH_ITERS", "20"))
@@ -47,9 +92,12 @@ def main():
         rp = scenes.config2_textured_cube(0.0)
     elif scene_name == "config3":
         rp = scenes.config3_phong_mesh(0.0)
-    else:
+    else:  # config4 and the batched config5 share the scene
         rp = scenes.config4_many_objects(0.0, triangles=tris)
     n_tris = int(rp.mesh.indices.shape[0] // 3)
+
+    if scene_name == "config5":
+        return bench_config5(rp, n_tris, iters)
 
     # Animated per-frame transforms (no two frames identical). Frames are
     # rendered in groups of FRAMES_PER_CALL inside one jit (lax.scan) so

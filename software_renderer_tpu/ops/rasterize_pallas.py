@@ -137,7 +137,7 @@ def _visibility_kernel(yoff_ref, nlive_ref, rec_ref, *rest, tile_h, tile_w,
 
     # Pixel-center coordinates of this tile (Shaders.metal:133 semantics).
     x0f = (tx * tile_w).astype(jnp.float32)
-    y0f = (ty * tile_h + yoff_ref[0]).astype(jnp.float32)
+    y0f = (ty * tile_h + yoff_ref[0, 0]).astype(jnp.float32)
     xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           .astype(jnp.float32) + (x0f + 0.5))
     ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -177,7 +177,7 @@ def _visibility_kernel(yoff_ref, nlive_ref, rec_ref, *rest, tile_h, tile_w,
         return jax.lax.cond(overlap, rasterize,
                             lambda z, i: (z, i), zbuf, idbuf)
 
-    @pl.when(c * chunk < nlive_ref[0])
+    @pl.when(c * chunk < nlive_ref[0, 0])
     def _work():
         zbuf, idbuf = jax.lax.fori_loop(
             0, chunk, body, (z_ref[:], id_ref[:]))
@@ -228,9 +228,9 @@ def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
         kernel,
         grid=(gh, gw, n_chunks),
         in_specs=[
-            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+            pl.BlockSpec((1, 1), lambda ty, tx, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+            pl.BlockSpec((1, 1), lambda ty, tx, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
                          memory_space=pltpu.SMEM),
@@ -247,9 +247,9 @@ def visibility_pallas_merge(rec, z_in, id_in, *, width: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(y_start, jnp.int32).reshape(1),
+    )(jnp.asarray(y_start, jnp.int32).reshape(1, 1),
       jnp.asarray(t_pad if n_live is None else n_live,
-                  jnp.int32).reshape(1), rec, z_in, id_in)
+                  jnp.int32).reshape(1, 1), rec, z_in, id_in)
     if pad_h or pad_w:
         depth = depth[:height, :width]
         tri_id = tri_id[:height, :width]
@@ -286,9 +286,9 @@ def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
         kernel,
         grid=(gh, gw, n_chunks),
         in_specs=[
-            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+            pl.BlockSpec((1, 1), lambda ty, tx, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda ty, tx, c: (0,),
+            pl.BlockSpec((1, 1), lambda ty, tx, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, REC_WIDTH), lambda ty, tx, c: (c, 0),
                          memory_space=pltpu.SMEM),
@@ -304,8 +304,8 @@ def visibility_pallas(setup: TriangleSetup, *, width: int, height: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(y_start, jnp.int32).reshape(1),
-      jnp.asarray(setup.num_triangles, jnp.int32).reshape(1), rec)
+    )(jnp.asarray(y_start, jnp.int32).reshape(1, 1),
+      jnp.asarray(setup.num_triangles, jnp.int32).reshape(1, 1), rec)
     if pad_h or pad_w:
         depth = depth[:height, :width]
         tri_id = tri_id[:height, :width]
