@@ -22,19 +22,23 @@ from .framebuffer import (
     CLEAR_DEPTH,
     NO_TRIANGLE,
 )
-from .render import RenderPass, render
+from .render import RenderPass, render, render_rows
 from .models.mesh import Mesh, mesh_from_numpy, merge_meshes, transform_mesh
 from .models import shapes
+from .models.obj import load_obj, save_obj
 from .ops import transforms
+from .ops.msaa import render_msaa
 from .ops.shading import Light
 from .ops.texture import Texture, checkerboard
+from .utils.config import RenderConfig
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Framebuffer", "create_framebuffer", "clear", "to_rgba8", "to_bgra8",
     "CLEAR_COLOR", "CLEAR_DEPTH", "NO_TRIANGLE",
-    "RenderPass", "render",
+    "RenderPass", "render", "render_rows", "render_msaa",
     "Mesh", "mesh_from_numpy", "merge_meshes", "transform_mesh", "shapes",
-    "transforms", "Light", "Texture", "checkerboard",
+    "load_obj", "save_obj",
+    "transforms", "Light", "Texture", "checkerboard", "RenderConfig",
 ]
