@@ -1,0 +1,54 @@
+"""Frame loop and chunked batch rendering."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import software_renderer_tpu as sr
+from software_renderer_tpu.models import scenes
+from software_renderer_tpu.parallel.batch import (render_batch,
+                                                  render_batch_chunked)
+from software_renderer_tpu.ops import transforms as tf
+from software_renderer_tpu.utils.config import RenderConfig
+from software_renderer_tpu.utils.display import FrameLoop
+from software_renderer_tpu.utils.image_io import read_png
+
+
+def test_frame_loop_writes_frames(tmp_path):
+    def scene_fn(t):
+        return scenes.reference_sphere(t, width=48, height=48)
+
+    loop = FrameLoop(scene_fn,
+                     transform_fn=tf.reference_demo_transform,
+                     config=RenderConfig(width=48, height=48,
+                                         backend="reference"))
+    out = str(tmp_path / "frames")
+    fps = loop.run(3, out_dir=out)
+    files = sorted(os.listdir(out))
+    assert files == ["frame_00000.png", "frame_00001.png",
+                     "frame_00002.png"]
+    img = read_png(os.path.join(out, "frame_00002.png"))
+    assert img.shape == (48, 48, 4)
+    assert img[..., 3].max() == 255  # sphere rendered
+    assert loop.time > 0
+
+
+def test_chunked_batch_matches_flat_vmap():
+    mesh = sr.shapes.uv_sphere(radius=0.2, segments=9, inward_normals=True)
+    rp = sr.RenderPass(mesh=mesh, transform=jnp.eye(4), width=48, height=48)
+    times = jnp.linspace(0.0, 1.0, 4)
+    transforms = jax.vmap(tf.reference_demo_transform)(times)
+    flat = render_batch(rp, transforms, backend="reference")
+    chunked = render_batch_chunked(rp, transforms, backend="reference",
+                                   vmap_chunk=2)
+    # Equal up to FMA-codegen ulps flipping depth ties at shared edges
+    # (different batch shapes fuse the depth FMA differently; see
+    # tests/test_parallel.py).
+    bad_c = ~np.isclose(np.asarray(flat.color), np.asarray(chunked.color),
+                        atol=1e-5)
+    bad_d = ~np.isclose(np.asarray(flat.depth), np.asarray(chunked.depth),
+                        atol=1e-5)
+    assert bad_c.any(axis=-1).mean() < 0.01
+    assert bad_d.mean() < 0.01
