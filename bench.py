@@ -61,7 +61,9 @@ def bench_config5(rp, n_tris, iters):
                 tf.quat_from_axis_angle(
                     jnp.array([0.0, 1.0, 0.0], jnp.float32), shift)),
             backend="binned", vmap_chunk=vmap_chunk)
-        return fb.color[:, ::101, ::101]
+        # Full-frame reduction per frame: nothing can be dead-code
+        # eliminated, and only [n_frames] scalars leave the device.
+        return jnp.sum(fb.color, axis=(1, 2, 3))
 
     result = bench_frame(
         run, lambda i: (jnp.float32(i) * 0.01,),
@@ -105,7 +107,7 @@ def main():
     # tunnel) is amortized out of the per-frame figure — the steady-state
     # rendering regime.
     base_model_proj = rp.transform
-    frames_per_call = int(os.environ.get("BENCH_FRAMES_PER_CALL", "16"))
+    frames_per_call = int(os.environ.get("BENCH_FRAMES_PER_CALL", "32"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     def transform_of(i):
@@ -120,9 +122,10 @@ def main():
             fb = sr.render(
                 dataclasses.replace(rp, transform=transform_of(i0 + i)),
                 backend=backend)
-            # Consume each frame (tiny strided checksum) so no frame is
-            # dead-code-eliminated while keeping transfers negligible.
-            return carry + jnp.sum(fb.color[::101, ::101]), None
+            # Consume the FULL frame (one cheap reduce) so no part of any
+            # frame is dead-code-eliminated; only the scalar leaves the
+            # device.
+            return carry + jnp.sum(fb.color), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                               jnp.arange(frames_per_call, dtype=jnp.int32))

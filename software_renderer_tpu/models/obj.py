@@ -22,9 +22,6 @@ def load_obj(path: str, abs_normal_colors: bool = True) -> Mesh:
     dedup: dict[tuple, int] = {}
 
     def vertex_for(token: str) -> int:
-        key = token
-        if key in dedup:
-            return dedup[key]
         parts = token.split("/")
         vi = int(parts[0])
         vi = vi - 1 if vi > 0 else len(positions) + vi
@@ -35,6 +32,19 @@ def load_obj(path: str, abs_normal_colors: bool = True) -> Mesh:
         if len(parts) > 2 and parts[2]:
             n = int(parts[2])
             ni = n - 1 if n > 0 else len(normals) + n
+        # Dedup on the *resolved* (v, vt, vn) triple, not the raw token:
+        # negative (relative) indices resolve differently as more v/vt/vn
+        # records stream in, so the same token can mean different corners.
+        key = (vi, ti, ni)
+        if key in dedup:
+            return dedup[key]
+        if not (0 <= vi < len(positions)):
+            raise IndexError(f"OBJ face index {parts[0]!r} out of range "
+                             f"({len(positions)} vertices so far)")
+        if ti is not None and not (0 <= ti < len(uvs)):
+            raise IndexError(f"OBJ uv index {parts[1]!r} out of range")
+        if ni is not None and not (0 <= ni < len(normals)):
+            raise IndexError(f"OBJ normal index {parts[2]!r} out of range")
         idx = len(out_pos)
         dedup[key] = idx
         out_pos.append(positions[vi])

@@ -49,13 +49,14 @@ from .rasterize_pallas import (
 from .setup import TriangleSetup
 
 KMAX = 12            # max tiles per triangle in the binned stream
-OVERFLOW_CAP = 1024  # max overflow triangles per frame
+OVERFLOW_CAP = 1024  # overflow triangles per merge wave
 # Binned-stream pair budget, in units of T (triangle count). Small
-# triangles average ~1.3 bbox-tile overlaps, so 2T of slots is generous;
-# triangles past the budget spill to the overflow list (still correct,
-# just slower). Keeping the stream near its *used* size matters: the
-# kernel's grid covers the whole static capacity.
-PAIR_BUDGET_FACTOR = 2
+# triangles average ~1.3 bbox-tile overlaps; triangles past the budget
+# spill to the overflow waves (still correct, just slower). Keeping the
+# stream near its *used* size matters doubly: the kernel's grid covers the
+# whole static capacity, and the stream-table row gather (~the cost of
+# 3 ms per 150k rows on v5e) scales with it.
+PAIR_BUDGET_FACTOR = 1.5
 
 # Combined stream-table column layout (see build_stream_table):
 # 0:2  a0 a1 | 2:4 b0 b1 | 4:6 c0 c1 | 6 Dabs | 7:10 za zb zc | 10 id
@@ -72,9 +73,13 @@ class BinInfo:
     chunk_tile: jax.Array   # [cap//chunk] i32 tile id per chunk
     first_flag: jax.Array   # [cap//chunk] i32 1 = first chunk of its tile
     live_flag: jax.Array    # [cap//chunk] i32 1 = chunk has live entries
-    overflow_ids: jax.Array  # [ov_len] i32 overflow triangles (-1 = inert)
-    n_overflow: jax.Array    # [] i32 (> overflow capacity => dropped,
-    #                             surfaced as a diagnostic)
+    last_flag: jax.Array    # [cap//chunk] i32 1 = last chunk of its tile
+    overflow_mask: jax.Array  # [T] bool — triangle spilled (span > kmax or
+    #   past the pair budget). The merge loops sort/compact this lazily
+    #   inside their overflow-only branch (a TPU sort costs ~3 ms even for
+    #   small arrays — too much to pay on spill-free frames) and process
+    #   waves of ov_len, so nothing is ever dropped.
+    n_overflow: jax.Array    # [] i32 total overflow triangles
 
 
 def build_bins(setup: TriangleSetup, *, width: int, height: int,
@@ -102,7 +107,7 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     small = valid & (nspan <= kmax)
     # Pair budget: triangles whose cumulative pair demand exceeds the
     # budget spill to the overflow list.
-    budget_pairs = -(-PAIR_BUDGET_FACTOR * max(t, 1) // chunk) * chunk
+    budget_pairs = -(int(-PAIR_BUDGET_FACTOR * max(t, 1)) // chunk) * chunk
     cum_pairs = jnp.cumsum(jnp.where(small, nspan, 0))
     binned = small & (cum_pairs <= budget_pairs)
     overflow = valid & ~binned
@@ -116,16 +121,30 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     pair_valid = binned[:, None] & (k[None, :] < nspan[:, None])
     keys = jnp.where(pair_valid, tile, ntiles).reshape(-1)  # [T*kmax]
 
-    # 2.+3. Sorted, chunk-aligned layout WITHOUT any scatter (XLA TPU
-    # scatter of 400k indices measured ~8 ms — slower than two sorts).
-    # (tile, entry-index) pairs are packed into one int32 (stability comes
-    # free from the low-order index bits; plain value sort beats key/value
-    # argsort):
-    #   sort #1 over the real pairs gives per-tile counts;
-    #   per-tile alignment *filler* entries (exactly pad_counts - counts
-    #   of them, keyed by their tile; the rest keyed past the sentinel)
-    #   are appended and sort #2 produces the final padded layout
-    #   directly — slot ids decode arithmetically from the packed values.
+    # 2. Per-tile pair counts WITHOUT sorting: a binned triangle covers a
+    #    rectangle of tiles, so counts[ty, tx] = sum_t rowmask[t, ty] *
+    #    colmask[t, tx] — one tiny [gh, T] @ [T, gw] matmul on the MXU
+    #    (f32 HIGHEST: counts < 2^24, exact). Replaces a full sort of the
+    #    pair keys (a TPU sort has ~3 ms of fixed cost at any size).
+    rows = jnp.arange(gh, dtype=jnp.int32)
+    cols = jnp.arange(gw, dtype=jnp.int32)
+    rowmask = ((rows[None, :] >= ty0[:, None])
+               & (rows[None, :] <= ty1[:, None])
+               & binned[:, None]).astype(jnp.float32)
+    colmask = ((cols[None, :] >= tx0[:, None])
+               & (cols[None, :] <= tx1[:, None])).astype(jnp.float32)
+    counts = jnp.dot(rowmask.T, colmask,
+                     precision=jax.lax.Precision.HIGHEST
+                     ).astype(jnp.int32).reshape(ntiles)
+
+    # 3. Sorted, chunk-aligned layout with ONE sort and no scatter (XLA
+    #    TPU scatter of 400k indices measured ~8 ms). (tile, entry-index)
+    #    pairs pack into one int32 (stability comes free from the
+    #    low-order index bits): real pairs plus exactly (pad_counts -
+    #    counts) per-tile alignment *filler* entries (keyed by their tile,
+    #    sorting right after the tile's real entries; the rest keyed past
+    #    the sentinel) sort directly into the final padded layout — slot
+    #    ids decode arithmetically from the packed values.
     n_pairs = t * kmax
     n_fill = ntiles * chunk
     n_all = n_pairs + n_fill
@@ -133,33 +152,23 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     cap = pairs_cap + n_fill
     idx_bits = max(n_all - 1, 1).bit_length()
     tile_bits = (ntiles + 2).bit_length()
+    # Static-shape feasibility; callers check packed_keys_fit() and route
+    # to the unbinned kernel instead of hitting this.
     assert idx_bits + tile_bits <= 31, (
         f"scene too large for packed binning keys: {t} triangles x {kmax} "
         f"+ {ntiles} tiles x {chunk} needs {idx_bits + tile_bits} bits")
 
     packed = (keys << idx_bits) | jnp.arange(n_pairs, dtype=jnp.int32)
-    sorted1 = jnp.sort(packed)
-    sorted_keys = sorted1 >> idx_bits
-
-    tile_range = jnp.arange(ntiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_keys, tile_range,
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_keys, tile_range,
-                            side="right").astype(jnp.int32)
-    counts = ends - starts
     pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
 
-    # Filler entries: chunk per tile, the first (pad_counts - counts) keyed
-    # by their tile (they sort right after the tile's real entries — their
-    # indices are >= n_pairs), the rest keyed ntiles+1 (past everything).
     f = jnp.arange(n_fill, dtype=jnp.int32)
     f_tile = f // chunk
     f_active = (f % chunk) < (pad_counts - counts)[f_tile]
     f_keys = jnp.where(f_active, f_tile, ntiles + 1)
     f_packed = (f_keys << idx_bits) | (n_pairs + f)
-    parts = [sorted1, f_packed]
+    parts = [packed, f_packed]
     if n_all < cap:  # tiny scenes: pad with sentinels so the slice fits
         parts.append(jnp.full((cap - n_all,),
                               ((ntiles + 1) << idx_bits), jnp.int32))
@@ -188,17 +197,44 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     # triangle loop (~40% of slots for typical scenes).
     live_flag = (cc * chunk < pad_starts[ct_c] + counts[ct_c]
                  ).astype(jnp.int32)
+    # Last chunk of each tile's run (the global tail belongs to the last
+    # tile, so its last_flag is the final chunk): exactly one per tile —
+    # the fused kernel runs its shading epilogue there.
+    last_flag = jnp.concatenate(
+        [(chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)])
 
-    # Overflow list: ascending triangle id (reference draw order); fixed
-    # chunk-aligned length regardless of T.
-    ov_len = -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
-    ov_key = jnp.where(overflow, jnp.arange(t, dtype=jnp.int32), t)
-    ov_sorted = jnp.full((ov_len,), t, jnp.int32).at[
-        : min(t, ov_len)].set(jnp.sort(ov_key)[: min(t, ov_len)])
-    ov_ids = jnp.where(ov_sorted < t, ov_sorted, -1)
     return BinInfo(ids=ids, chunk_tile=chunk_tile, first_flag=first_flag,
-                   live_flag=live_flag, overflow_ids=ov_ids,
+                   live_flag=live_flag, last_flag=last_flag,
+                   overflow_mask=overflow,
                    n_overflow=jnp.sum(overflow.astype(jnp.int32)))
+
+
+def overflow_id_waves(info: BinInfo, ov_len: int) -> jax.Array:
+    """[n_waves * ov_len] overflow triangle ids in ascending order (-1 =
+    inert). Call INSIDE an overflow-only branch — contains a sort."""
+    t = info.overflow_mask.shape[0]
+    n_waves = max(-(-t // ov_len), 1)
+    ov_key = jnp.where(info.overflow_mask, jnp.arange(t, dtype=jnp.int32),
+                       t)
+    ov_sorted = jnp.full((n_waves * ov_len,), t, jnp.int32).at[
+        :t].set(jnp.sort(ov_key))
+    return jnp.where(ov_sorted < t, ov_sorted, -1)
+
+
+def packed_keys_fit(t: int, *, width: int, height: int,
+                    tile_h: int = TILE_H, tile_w: int = TILE_W,
+                    chunk: int = CHUNK, kmax: int = KMAX) -> bool:
+    """Static check that the two-sort packed keys fit in int32 for this
+    scene size; callers fall back to the unbinned kernel when they don't
+    (~400k triangles at 1080p with the default tiles)."""
+    gh = -(-height // tile_h)
+    gw = -(-width // tile_w)
+    ntiles = gh * gw
+    n_all = t * kmax + ntiles * chunk
+    idx_bits = max(n_all - 1, 1).bit_length()
+    tile_bits = (ntiles + 2).bit_length()
+    return idx_bits + tile_bits <= 31
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +405,71 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
         gb_ref[a] = gb[a]
 
 
+def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
+                  prm_ref, z_ref, id_ref, out_ref, acc_ref, *, tile_h,
+                  tile_w, chunk, gw, n_channels, n_out, epilogue):
+    """Fused visibility + G-buffer resolve + shading epilogue.
+
+    One pass over the binned stream: each triangle's depth test and
+    attribute-plane evaluation happen together (progressive overwrite
+    where the candidate wins == the final winner's attributes, exactly the
+    split kernels' result), and when a tile's list ends (last_flag) the
+    shading epilogue (ops/shading.py fused_epilogue) runs on the VMEM-
+    resident accumulators — the whole reference fragment stage
+    (Shaders.metal:116-167) plus lighting in a single kernel.
+    """
+    cc = pl.program_id(0)
+
+    @pl.when(ff_ref[cc] == 1)
+    def _init():
+        z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+        id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        acc_ref[:] = jnp.zeros((n_channels, tile_h, tile_w), jnp.float32)
+
+    xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
+
+    def body(k, carry):
+        zbuf, idbuf, acc = carry
+        tri = rec_ref[k, 10].astype(jnp.int32)
+        e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
+        e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
+        e2 = rec_ref[k, 6] - e0 - e1
+        inside = jnp.logical_and(
+            jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
+        depth = rec_ref[k, 7] * xs + rec_ref[k, 8] * ys + rec_ref[k, 9]
+        cand = jnp.where(inside, depth, jnp.inf)
+        better = cand < zbuf  # ascending-id order => first wins ties
+        acc = tuple(
+            jnp.where(better,
+                      rec_ref[k, REC_BASE + 3 * a] * xs
+                      + rec_ref[k, REC_BASE + 3 * a + 1] * ys
+                      + rec_ref[k, REC_BASE + 3 * a + 2],
+                      acc[a])
+            for a in range(n_channels))
+        return (jnp.where(better, cand, zbuf),
+                jnp.where(better, tri, idbuf), acc)
+
+    @pl.when(lv_ref[cc] == 1)
+    def _work():
+        zbuf, idbuf, acc = jax.lax.fori_loop(
+            0, chunk, body,
+            (z_ref[:], id_ref[:],
+             tuple(acc_ref[a] for a in range(n_channels))),
+            unroll=chunk)
+        z_ref[:] = zbuf
+        id_ref[:] = idbuf
+        for a in range(n_channels):
+            acc_ref[a] = acc[a]
+
+    @pl.when(lf_ref[cc] == 1)
+    def _epilogue():
+        params = [prm_ref[0, i] for i in range(prm_ref.shape[1])]
+        planes = [acc_ref[a] for a in range(n_channels)]
+        outs = epilogue(planes, id_ref[:] >= 0, params)
+        for c in range(n_out):
+            out_ref[c] = outs[c]
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -376,6 +477,11 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
 def _grid_geometry(width, height, tile_h, tile_w):
     pad_h, pad_w = (-height) % tile_h, (-width) % tile_w
     return pad_h, pad_w, (height + pad_h) // tile_h, (width + pad_w) // tile_w
+
+
+def _ov_len(t: int, chunk: int, overflow_cap: int) -> int:
+    """Static per-wave overflow list length (matches build_bins)."""
+    return -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
 
 
 def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
@@ -390,6 +496,21 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     """
     if interpret is None:
         interpret = default_interpret()
+    if not packed_keys_fit(setup.num_triangles, width=width, height=height,
+                           tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+                           kmax=kmax):
+        # Graceful static fallback instead of the packed-key assert: the
+        # unbinned kernel + XLA gather resolve handle any scene size.
+        from .rasterize_pallas import visibility_pallas
+        from .resolve import barycentrics_at_pixels, interpolate_attribute
+        depth, tri_id = visibility_pallas(
+            setup, width=width, height=height, y_start=y_start,
+            tile_h=tile_h, tile_w=tile_w, chunk=chunk, interpret=interpret)
+        if attrs is None:
+            return depth, tri_id, None
+        ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
+        return depth, tri_id, interpolate_attribute(attrs, tri_id, ws,
+                                                    covered)
     info = build_bins(setup, width=width, height=height, y_start=y_start,
                       tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
                       overflow_cap=overflow_cap)
@@ -437,17 +558,33 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     tri_id_s = tri_id[:height, :width] if (pad_h or pad_w) else tri_id
 
     # --- overflow visibility (rare; lex (depth, id) tie merge) -------------
+    # Processed in waves of ov_len inside an overflow-only branch, so ANY
+    # overflow volume renders correctly (nothing is dropped past a cap)
+    # and spill-free frames pay nothing — not even the id compaction sort.
+    # The lex (depth, id) rule is associative, so wave order cannot change
+    # the result.
+    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
+
     def vis_with_overflow(args):
-        d, i = args
-        # Built inside the cond branch: costs nothing when there is no
-        # overflow.
-        ov_rec16 = gather_stream(pack_records(setup, chunk),
-                                 info.overflow_ids, _poison_row())
-        return visibility_pallas_merge(
-            ov_rec16, d, i, width=width, height=height, y_start=y_start,
-            n_live=info.n_overflow,
-            tile_h=tile_h, tile_w=tile_w, chunk=chunk, lex_tie=True,
-            interpret=interpret)
+        ov_ids = overflow_id_waves(info, ov_len)
+        rec_table = pack_records(setup, chunk)
+
+        def wave(state):
+            k, d, i = state
+            ids = jax.lax.dynamic_slice(ov_ids, (k * ov_len,), (ov_len,))
+            ov_rec16 = gather_stream(rec_table, ids, _poison_row())
+            n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
+            d, i = visibility_pallas_merge(
+                ov_rec16, d, i, width=width, height=height,
+                y_start=y_start, n_live=n_live, tile_h=tile_h,
+                tile_w=tile_w, chunk=chunk, lex_tie=True,
+                interpret=interpret)
+            return k + 1, d, i
+
+        _, d, i = jax.lax.while_loop(
+            lambda s: s[0] * ov_len < info.n_overflow, wave,
+            (jnp.int32(0),) + args)
+        return d, i
 
     depth_s, tri_id_s = jax.lax.cond(
         info.n_overflow > 0, vis_with_overflow, lambda args: args,
@@ -491,16 +628,19 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
       tid_p)
     gb = gb[:, :height, :width]
 
-    # --- overflow resolve (rare) --------------------------------------------
-    def gb_with_overflow(gb):
-        ov_stream = gather_stream(table, info.overflow_ids, poison)
+    # --- overflow resolve (rare; same wave scheme as the visibility merge) --
+    def gb_wave_body(state, ov_ids):
+        k, gb = state
+        ids = jax.lax.dynamic_slice(ov_ids, (k * ov_len,), (ov_len,))
+        ov_stream = gather_stream(table, ids, poison)
         nov_chunks = ov_stream.shape[0] // chunk
         ntiles = gh * gw
         ct = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), nov_chunks)
         ff = jnp.tile((jnp.arange(nov_chunks, dtype=jnp.int32) == 0
                        ).astype(jnp.int32), ntiles)
         cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
-        lv = (cyc * chunk < info.n_overflow).astype(jnp.int32)
+        n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
+        lv = (cyc * chunk < n_live).astype(jnp.int32)
         gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
         merge_kernel = functools.partial(
             _resolve_merge_kernel, tile_h=tile_h, tile_w=tile_w,
@@ -536,11 +676,136 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(ct, ff, cyc, lv, yoff, ov_stream, tid_p, gb_p)
-        return out[:, :height, :width]
+        return k + 1, out[:, :height, :width]
+
+    def gb_with_overflow(gb):
+        ov_ids = overflow_id_waves(info, ov_len)
+        _, gb = jax.lax.while_loop(
+            lambda s: s[0] * ov_len < info.n_overflow,
+            functools.partial(gb_wave_body, ov_ids=ov_ids),
+            (jnp.int32(0), gb))
+        return gb
 
     gb = jax.lax.cond(info.n_overflow > 0, gb_with_overflow,
                       lambda g: g, gb)
     return depth_s, tri_id_s, jnp.moveaxis(gb, 0, -1)
+
+
+def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
+                   height: int, epilogue, n_out: int, y_start=0,
+                   tile_h: int = TILE_H, tile_w: int = TILE_W,
+                   chunk: int = CHUNK, kmax: int = KMAX,
+                   overflow_cap: int = OVERFLOW_CAP,
+                   interpret: bool | None = None):
+    """Binned raster with fused shading: ONE kernel pass computes
+    visibility, attribute planes, and the shading epilogue per tile.
+
+    attrs: [T, 3, A] per-vertex attribute values (A >= 1).
+    params: f32[PARAMS_WIDTH] shading constants (ops/shading.py).
+    epilogue: (planes list[A of 2D], covered 2D, params) -> list[n_out 2D]
+      — elementwise jnp only; runs inside the kernel on VMEM tiles.
+
+    Returns (depth [H, W], tri_id [H, W], out [n_out, H, W]).
+
+    Overflow scenes (triangles spanning > kmax tiles or past the pair
+    budget) take a cond'd fallback: the split visibility/resolve pipeline
+    with wave-merged overflow, epilogue applied in XLA — always correct,
+    just slower. Scenes whose packed binning keys don't fit int32 route
+    statically to the unbinned kernel + XLA resolve.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    a = attrs.shape[-1]
+    t = setup.num_triangles
+    prm = jnp.asarray(params, jnp.float32).reshape(1, -1)
+
+    def xla_epilogue(tri_id, gb_hwa):
+        covered = tri_id != -1
+        planes = [gb_hwa[..., i] for i in range(a)]
+        outs = epilogue(planes, covered, params)
+        return jnp.stack(outs, axis=0)
+
+    if not packed_keys_fit(t, width=width, height=height, tile_h=tile_h,
+                           tile_w=tile_w, chunk=chunk, kmax=kmax):
+        # Static fallback: unbinned visibility + XLA gather resolve.
+        from .rasterize_pallas import visibility_pallas
+        from .resolve import barycentrics_at_pixels, interpolate_attribute
+        depth, tri_id = visibility_pallas(
+            setup, width=width, height=height, y_start=y_start,
+            tile_h=tile_h, tile_w=tile_w, chunk=chunk, interpret=interpret)
+        ws, covered = barycentrics_at_pixels(setup, tri_id, y_start)
+        gb = interpolate_attribute(attrs, tri_id, ws, covered)
+        return depth, tri_id, xla_epilogue(tri_id, gb)
+
+    info = build_bins(setup, width=width, height=height, y_start=y_start,
+                      tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
+                      overflow_cap=overflow_cap)
+    table, _, poison = build_stream_table(setup, attrs)
+    stream = gather_stream(table, info.ids, poison)
+    wtot = table.shape[-1]
+    pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
+    n_chunks = stream.shape[0] // chunk
+    yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
+    tile_idx = lambda cc, ct, ff, lv, lf, yo: (ct[cc] // gw, ct[cc] % gw)
+
+    def fast(_):
+        kernel = functools.partial(
+            _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # ct, ff, lv, lf, y_off
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((chunk, wtot),
+                             lambda cc, ct, ff, lv, lf, yo: (cc, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, prm.shape[1]),
+                             lambda cc, ct, ff, lv, lf, yo: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_h, tile_w), tile_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_h, tile_w), tile_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n_out, tile_h, tile_w),
+                    lambda cc, ct, ff, lv, lf, yo:
+                    (0, ct[cc] // gw, ct[cc] % gw),
+                    memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((a, tile_h, tile_w), jnp.float32)],
+        )
+        depth, tri_id, out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct(
+                    (n_out, height + pad_h, width + pad_w), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(info.chunk_tile, info.first_flag, info.live_flag,
+          info.last_flag, yoff, stream, prm)
+        return (depth[:height, :width], tri_id[:height, :width],
+                out[:, :height, :width])
+
+    def slow(_):
+        # Overflow present: split pipeline with wave merges (recomputes
+        # the bins inside the branch — costs nothing when not taken).
+        depth, tri_id, gb = binned_pipeline(
+            setup, attrs, width=width, height=height, y_start=y_start,
+            tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
+            overflow_cap=overflow_cap, interpret=interpret)
+        return depth, tri_id, xla_epilogue(tri_id, gb)
+
+    return jax.lax.cond(info.n_overflow == 0, fast, slow, None)
 
 
 @functools.partial(jax.jit,

@@ -149,6 +149,144 @@ def shade_gbuffer(gb, covered, *, shading: str, chans,
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused-shading support: the binned backend evaluates lighting inside the
+# Pallas resolve kernel's epilogue while the G-buffer tile is still in VMEM
+# (ops/binning.py fused_pipeline), leaving only the texture gather + final
+# combine to XLA. The epilogue is expressed here as pure jnp on
+# channel-first arrays so the exact same code runs on a [A, tile_h, tile_w]
+# VMEM block inside the kernel and on a full [A, H, W] frame in the
+# overflow fallback path.
+# ---------------------------------------------------------------------------
+
+# Params-row layout (f32[PARAMS_WIDTH], SMEM inside the kernel):
+# 0:3 l (unit, toward light) | 3:6 h (unit half vector) | 6:9 light color
+# | 9:12 ambient | 12:15 specular | 15 shininess | 16:19 flat_color
+PARAMS_WIDTH = 32
+
+
+def shading_params(light: Optional[Light], flat_color=(1.0, 1.0, 1.0),
+                   view_dir=(0.0, 0.0, -1.0)) -> jax.Array:
+    """Pack per-frame shading constants into one f32 row (kernel SMEM)."""
+    p = jnp.zeros((PARAMS_WIDTH,), jnp.float32)
+    if light is not None:
+        l = -_normalize(jnp.asarray(light.direction, jnp.float32))
+        v = _normalize(jnp.asarray(view_dir, jnp.float32))
+        h = _normalize(l + v)
+        p = p.at[0:3].set(l)
+        p = p.at[3:6].set(h)
+        p = p.at[6:9].set(jnp.asarray(light.color, jnp.float32))
+        p = p.at[9:12].set(jnp.asarray(light.ambient, jnp.float32))
+        p = p.at[12:15].set(jnp.asarray(light.specular, jnp.float32))
+        p = p.at[15].set(jnp.asarray(light.shininess, jnp.float32))
+    p = p.at[16:19].set(jnp.asarray(flat_color, jnp.float32))
+    return p
+
+
+def fused_output_channels(shading: str, chans, has_light: bool,
+                          has_texture: bool):
+    """Output channel plan of the fused epilogue: list of (name, size).
+
+    'lit' = base * (ambient + light * ndotl) (pre-texture), 'spec' = the
+    scalar specular term; 'rgb' = passthrough color; 'uv' passthrough.
+    """
+    names = {n for n, _ in chans}
+    lit = has_light and "normal" in names
+    out = []
+    if shading in ("vertex", "flat") or not has_texture:
+        # Final RGB computed in-kernel.
+        out.append(("final", 3) if lit else ("rgb", 3))
+    else:
+        out.append(("lit", 3) if lit else ("rgb", 3))
+        if lit:
+            out.append(("spec", 1))
+    if has_texture:
+        out.append(("uv", 2))
+    return out
+
+
+def _chan_planes(planes, chans, name):
+    """Pick channel `name`'s 2D planes out of a list of per-channel 2D
+    arrays laid out per the (name, size) plan."""
+    off = 0
+    for n, size in chans:
+        if n == name:
+            return list(planes[off:off + size])
+        off += size
+    return None
+
+
+def fused_epilogue(planes, covered, params, *, chans, has_light: bool,
+                   has_texture: bool):
+    """Per-channel G-buffer planes -> fused output planes (both lists of
+    2D arrays — elementwise-only math, so the exact same code runs on a
+    VMEM tile inside the Pallas kernel and on the whole frame in XLA for
+    the overflow fallback).
+
+    params: f32[PARAMS_WIDTH] per shading_params. Returns a list of C 2D
+    arrays per fused_output_channels' plan.
+    """
+    rgb = _chan_planes(planes, chans, "rgb")
+    nrm = _chan_planes(planes, chans, "normal")
+    uv = _chan_planes(planes, chans, "uv")
+    one = jnp.ones_like(covered, jnp.float32)
+    base = rgb if rgb is not None else [params[16 + c] * one
+                                        for c in range(3)]
+
+    lit = has_light and nrm is not None
+    outs = []
+    if lit:
+        # Normalize the interpolated normal; Blinn-Phong terms against the
+        # packed per-frame constants (see shading_params layout).
+        inv = jax.lax.rsqrt(jnp.maximum(
+            nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2], 1e-12))
+        nx, ny, nz = nrm[0] * inv, nrm[1] * inv, nrm[2] * inv
+        ndotl = jnp.maximum(
+            nx * params[0] + ny * params[1] + nz * params[2], 0.0)
+        ndoth = jnp.maximum(
+            nx * params[3] + ny * params[4] + nz * params[5], 0.0)
+        spec = jnp.power(ndoth, params[15]) * jnp.sign(ndotl)
+        lit_rgb = [base[c] * (params[9 + c] + params[6 + c] * ndotl)
+                   for c in range(3)]
+        if has_texture:
+            outs += lit_rgb
+            outs.append(spec)
+        else:
+            outs += [lit_rgb[c] + params[12 + c] * spec for c in range(3)]
+    else:
+        outs += base
+    if has_texture:
+        outs += uv
+    zero = jnp.zeros_like(one)
+    return [jnp.where(covered, o, zero) for o in outs]
+
+
+def finish_fused(out_cf, covered, *, out_chans,
+                 light: Optional[Light] = None,
+                 texture: Optional[Texture] = None):
+    """XLA tail after the fused kernel: texture gather + combine + alpha.
+
+    out_cf: [C, H, W] fused epilogue outputs. Returns [H, W, 4] RGBA.
+    """
+    names = {n for n, _ in out_chans}
+    planes = [out_cf[c] for c in range(out_cf.shape[0])]
+    rgb_cf = (_chan_planes(planes, out_chans, "final")
+              or _chan_planes(planes, out_chans, "rgb")
+              or _chan_planes(planes, out_chans, "lit"))
+    rgb = jnp.stack(rgb_cf, axis=-1)
+    if "uv" in names and texture is not None:
+        uv = jnp.stack(_chan_planes(planes, out_chans, "uv"), axis=-1)
+        tex_rgb = sample_texture(texture, uv)[..., :3]
+        rgb = rgb * tex_rgb
+    if "spec" in names:
+        spec = _chan_planes(planes, out_chans, "spec")[0]
+        rgb = rgb + (jnp.asarray(light.specular, jnp.float32)
+                     * spec[..., None])
+    alpha = jnp.where(covered, 1.0, 0.0)
+    rgb = jnp.where(covered[..., None], rgb, 0.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
 def shade(setup, tri_id, tris, *, shading: str,
           colors=None, normals=None, uvs=None,
           light: Optional[Light] = None,

@@ -14,9 +14,10 @@ Semantics contract (must match the reference exactly; golden-tested):
 * ``pix = round(uv * (W, H))`` with round-half-away-from-zero
   (Swift ``.toNearestOrAwayFromZero`` at Renderer.swift:168; Metal
   ``round`` at Shaders.metal:71). jnp.round is round-half-even, so we use
-  ``floor(x + 0.5)`` which agrees for all non-negative values (on-screen
-  coordinates are non-negative; negative half-integers are off-screen and
-  never visible).
+  sign-aware ``sign(x) * floor(|x| + 0.5)``, which matches away-from-zero
+  on both sides of zero — off-screen vertices of partially visible
+  triangles still determine on-screen coverage, so negative coordinates
+  must round exactly the same way as the reference's.
 * z is carried through unchanged (NDC z in [0, 1]).
 """
 
@@ -27,8 +28,8 @@ import jax.numpy as jnp
 
 
 def round_half_away(x):
-    """Round half away from zero for x >= -0.5 (see module docstring)."""
-    return jnp.floor(x + 0.5)
+    """Round half away from zero (see module docstring)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
 def transform_vertices(positions, transform):

@@ -135,15 +135,26 @@ def render_triangles(rp: RenderPass, backend: str,
         normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
 
     if backend == "binned":
-        # Fast path: binned visibility + Pallas plane-evaluation resolve
-        # (no per-pixel gathers).
-        from .ops.binning import binned_pipeline
-        from .ops.shading import gather_attribute_values, shade_gbuffer
+        # Fast path: binned visibility + fused Pallas resolve-and-shade
+        # (plane evaluation + Blinn-Phong inside the kernel; only the
+        # texture gather + final combine stay in XLA).
+        from functools import partial as _partial
 
+        from .ops.binning import binned_pipeline, fused_pipeline
+        from .ops.shading import (
+            finish_fused, fused_epilogue, fused_output_channels,
+            gather_attribute_values, shade_gbuffer, shading_params)
+
+        has_light = rp.light is not None and mesh.normals is not None
+        # Bake the normal matrix into the per-vertex normals (linear, so it
+        # commutes with plane interpolation) — the kernel epilogue then
+        # normalizes/light the interpolated normal directly.
+        normals = mesh.normals
+        if normals is not None and normal_matrix is not None:
+            normals = normals @ normal_matrix.T
         attrs, chans = gather_attribute_values(
-            rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
-            uvs=mesh.uvs,
-            has_light=rp.light is not None and mesh.normals is not None)
+            rp.shading, tris, colors=mesh.colors, normals=normals,
+            uvs=mesh.uvs, has_light=has_light)
         if rp.perspective_correct:
             # Perspective-correct interpolation needs per-pixel 1/w terms;
             # use the XLA resolve path on the binned visibility buffer.
@@ -158,15 +169,34 @@ def render_triangles(rp: RenderPass, backend: str,
                 flat_color=rp.flat_color, normal_matrix=normal_matrix,
                 y_start=y0, w_tri=w_c)
             return Framebuffer(color=color, depth=depth)
-        depth, tri_id, gb = binned_pipeline(
-            setup, attrs, width=rp.width, height=out_h, y_start=y0)
+        if attrs is None:
+            depth, tri_id, _ = binned_pipeline(
+                setup, None, width=rp.width, height=out_h, y_start=y0)
+            depth = jax.lax.stop_gradient(depth)
+            tri_id = jax.lax.stop_gradient(tri_id)
+            color = shade_gbuffer(None, tri_id != -1, shading=rp.shading,
+                                  chans=chans, light=rp.light,
+                                  texture=rp.texture,
+                                  flat_color=rp.flat_color)
+            return Framebuffer(color=color, depth=depth)
+        has_texture = rp.shading == "textured"
+        out_chans = fused_output_channels(rp.shading, chans, has_light,
+                                          has_texture)
+        n_out = sum(s for _, s in out_chans)
+        params = shading_params(rp.light, flat_color=rp.flat_color)
+        epilogue = _partial(fused_epilogue, chans=chans,
+                            has_light=has_light, has_texture=has_texture)
+        depth, tri_id, out = fused_pipeline(
+            setup, attrs, params, width=rp.width, height=out_h,
+            epilogue=epilogue, n_out=n_out, y_start=y0)
+        # The fused kernel has no AD rule; appearance gradients (texture)
+        # flow through finish_fused's gather below, geometry/vertex-attr
+        # gradients need the 'reference'/'pallas' backends.
         depth = jax.lax.stop_gradient(depth)
         tri_id = jax.lax.stop_gradient(tri_id)
-        covered = tri_id != -1
-        color = shade_gbuffer(gb, covered, shading=rp.shading, chans=chans,
-                              light=rp.light, texture=rp.texture,
-                              flat_color=rp.flat_color,
-                              normal_matrix=normal_matrix)
+        out = jax.lax.stop_gradient(out)
+        color = finish_fused(out, tri_id != -1, out_chans=out_chans,
+                             light=rp.light, texture=rp.texture)
         return Framebuffer(color=color, depth=depth)
 
     depth, tri_id = _visibility(setup, rp, backend, y_start=y0)

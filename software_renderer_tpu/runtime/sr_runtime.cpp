@@ -107,12 +107,14 @@ void* sr_obj_load(const char* path) {
     if (!f) return nullptr;
     std::vector<float> vs, vts, vns;
     auto* mesh = new ObjMesh();
-    std::unordered_map<std::string, int32_t> dedup;
+    // Dedup keyed on the *resolved* (v, vt, vn) triple — negative
+    // (relative) indices resolve differently as more records stream in,
+    // so the raw token text is not a stable key (matches models/obj.py).
+    std::unordered_map<uint64_t, int32_t> dedup;
     char line[4096];
+    bool ok = true;  // any out-of-range face index poisons the whole load
 
     auto corner = [&](const char* tok) -> int32_t {
-        auto it = dedup.find(tok);
-        if (it != dedup.end()) return it->second;
         long vi = 0, ti = 0, ni = 0;
         bool has_t = false, has_n = false;
         const char* p = tok;
@@ -122,24 +124,36 @@ void* sr_obj_load(const char* path) {
             if (*p != '/') { ti = strtol(p, (char**)&p, 10); has_t = true; }
             if (*p == '/') { ++p; ni = strtol(p, (char**)&p, 10); has_n = true; }
         }
-        int32_t id = (int32_t)(mesh->positions.size() / 3);
         int32_t v = resolve_index(vi, vs.size() / 3);
+        int32_t t = (has_t && ti != 0) ? resolve_index(ti, vts.size() / 2) : -1;
+        int32_t n = (has_n && ni != 0) ? resolve_index(ni, vns.size() / 3) : -1;
+        // Bounds checks: malformed indices ('f 0 1 2', overruns) must fail
+        // the load cleanly, not read out of bounds (the ctypes wrapper
+        // raises IOError on nullptr, same as the Python parser's
+        // IndexError).
+        if (v < 0 || (size_t)v >= vs.size() / 3) { ok = false; return 0; }
+        if (t >= 0 && (size_t)t >= vts.size() / 2) { ok = false; return 0; }
+        if (n >= 0 && (size_t)n >= vns.size() / 3) { ok = false; return 0; }
+        uint64_t key = ((uint64_t)(uint32_t)v << 42)
+                       ^ ((uint64_t)(uint32_t)(t + 1) << 21)
+                       ^ (uint64_t)(uint32_t)(n + 1);
+        auto it = dedup.find(key);
+        if (it != dedup.end()) return it->second;
+        int32_t id = (int32_t)(mesh->positions.size() / 3);
         mesh->positions.insert(mesh->positions.end(),
                                {vs[3 * v], vs[3 * v + 1], vs[3 * v + 2]});
-        if (has_t && ti != 0) {
-            int32_t t = resolve_index(ti, vts.size() / 2);
+        if (t >= 0) {
             mesh->uvs.insert(mesh->uvs.end(), {vts[2 * t], vts[2 * t + 1]});
         } else {
             mesh->uvs.insert(mesh->uvs.end(), {0.f, 0.f});
         }
-        if (has_n && ni != 0) {
-            int32_t n = resolve_index(ni, vns.size() / 3);
+        if (n >= 0) {
             mesh->normals.insert(mesh->normals.end(),
                                  {vns[3 * n], vns[3 * n + 1], vns[3 * n + 2]});
         } else {
             mesh->normals.insert(mesh->normals.end(), {0.f, 0.f, 0.f});
         }
-        dedup.emplace(tok, id);
+        dedup.emplace(key, id);
         return id;
     };
 
@@ -172,6 +186,7 @@ void* sr_obj_load(const char* path) {
         }
     }
     fclose(f);
+    if (!ok) { delete mesh; return nullptr; }
     return mesh;
 }
 

@@ -26,8 +26,10 @@ def oracle_vertex_stage(positions, transform, width, height):
     w = clip[:, 3]
     ndc = (clip[:, :3].T / w).T.astype(np.float32)
     uv = ndc[:, :2] * np.array([0.5, -0.5], np.float32) + np.float32(0.5)
-    pix = np.floor(uv * np.array([width, height], np.float32)
-                   + np.float32(0.5))  # round half away (non-negative)
+    scaled = uv * np.array([width, height], np.float32)
+    # Round half away from zero (Swift .toNearestOrAwayFromZero /
+    # Metal round) — sign-aware, matching ops/vertex.py round_half_away.
+    pix = np.sign(scaled) * np.floor(np.abs(scaled) + np.float32(0.5))
     return np.concatenate([pix, ndc[:, 2:3]], axis=-1).astype(np.float32)
 
 

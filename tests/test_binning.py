@@ -104,16 +104,17 @@ def test_binned_pair_budget_spills_to_overflow():
     # (via the overflow path), not vanish.
     from software_renderer_tpu.ops.binning import build_bins
     rng = np.random.default_rng(1)
-    n_tri = 40
+    n_tri = 80
     base = rng.uniform(-0.9, 0.9, size=(n_tri, 1, 3))
-    offs = rng.uniform(-0.4, 0.4, size=(n_tri, 3, 3))  # medium triangles
+    offs = rng.uniform(-0.5, 0.5, size=(n_tri, 3, 3))  # medium triangles
     pts = (base + offs).reshape(-1, 3).astype(np.float32)
     pts[:, 2] = rng.uniform(0.1, 0.9, size=len(pts))
     tris = np.arange(3 * n_tri).reshape(n_tri, 3)
     s = setup_for(pts, tris, 512, 256)
     info = build_bins(s, width=512, height=256)
-    # Some triangles should have spilled for this setup to be meaningful;
-    # if not, the scene is too small — still assert correctness.
+    # The premise: this scene must actually exceed the pair budget / kmax
+    # so some triangles spill — otherwise the test silently tests nothing.
+    assert int(info.n_overflow) > 0, "scene did not spill; test is vacuous"
     d_ref, id_ref = visibility_ref(s, width=512, height=256)
     d_bin, id_bin = visibility_binned(s, width=512, height=256)
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Microbenchmarks of the binning primitives on real TPU.
+
+Each op runs inside a lax.scan with per-iteration-varying inputs (xor of
+the loop counter) so XLA cannot constant-fold or cache across frames —
+see CLAUDE.md's microbenchmark caveat.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from software_renderer_tpu.utils.timing import bench_frame, enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_SCAN = 16
+rng = np.random.default_rng(0)
+
+
+def timed(name, make):
+    @jax.jit
+    def run(i0):
+        def body(carry, i):
+            return carry + make(i0 + i), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(N_SCAN, dtype=jnp.int32))
+        return acc
+
+    r = bench_frame(run, lambda i: (jnp.int32(i * N_SCAN),), name=name,
+                    frames_per_call=N_SCAN, warmup=2, iters=8)
+    print(f"{name:>42}: {r.p50_ms:8.3f} ms", flush=True)
+
+
+def main():
+    base12 = jnp.asarray(rng.integers(0, 2**30, size=1_200_000), jnp.int32)
+    base3 = base12[:300_000]
+    base1 = base12[:100_000]
+    table = jnp.asarray(rng.random((100_000, 35)), jnp.float32)
+    idx233 = jnp.asarray(rng.integers(0, 100_000, size=233_472), jnp.int32)
+    idx158 = idx233[:158_000]
+    cum = jnp.cumsum(jnp.asarray(rng.integers(0, 4, size=100_000),
+                                 jnp.int32))
+    j200 = jnp.arange(200_000, dtype=jnp.int32)
+
+    timed("sort 1.2M i32", lambda i: jnp.sum(jnp.sort(base12 ^ i)))
+    timed("sort 300k i32", lambda i: jnp.sum(jnp.sort(base3 ^ i)))
+    timed("sort 100k i32", lambda i: jnp.sum(jnp.sort(base1 ^ i)))
+    timed("gather 233k rows x35", lambda i: jnp.sum(
+        table[(idx233 + i) % 100_000]))
+    timed("gather 158k rows x35", lambda i: jnp.sum(
+        table[(idx158 + i) % 100_000]))
+    timed("gather 233k rows x16", lambda i: jnp.sum(
+        table[(idx233 + i) % 100_000, :16]))
+    timed("searchsorted 200k in 100k (scan)", lambda i: jnp.sum(
+        jnp.searchsorted(cum + i, j200, side="right")))
+    timed("searchsorted 200k in 100k (sort)", lambda i: jnp.sum(
+        jnp.searchsorted(cum + i, j200, side="right", method="sort")))
+    timed("cumsum 1.2M i32", lambda i: jnp.sum(jnp.cumsum(base12 ^ i)))
+    timed("cumsum 100k i32", lambda i: jnp.sum(jnp.cumsum(base1 ^ i)))
+    timed("argsort-u32-pairs 233k", lambda i: jnp.sum(
+        jnp.sort((idx233 ^ i).astype(jnp.int32))))
+
+
+if __name__ == "__main__":
+    main()
