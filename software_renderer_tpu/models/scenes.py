@@ -129,12 +129,31 @@ def config2_textured_cube(time, width: int = 512, height: int = 512
                       light=Light.default(), model=model)
 
 
+def _teapot_mesh():
+    """The Utah teapot for config 3: loaded from the checked-in
+    assets/teapot.obj through the real OBJ path (native C++ parser with
+    Python fallback, models/obj.py); regenerated from the Newell patches
+    (models/teapot.py) if the asset is missing."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "..", "assets", "teapot.obj")
+    if os.path.exists(path):
+        from .obj import load_obj
+        return load_obj(path)
+    from .mesh import mesh_from_numpy
+    from .teapot import teapot_mesh
+    import numpy as np
+    p, t, n, uv = teapot_mesh(9)
+    return mesh_from_numpy(p, t.reshape(-1), colors=np.abs(n), normals=n,
+                           uvs=uv)
+
+
 def config3_phong_mesh(time, width: int = 1024, height: int = 1024
                        ) -> RenderPass:
-    """Config 3: ~5k-triangle smooth mesh, per-pixel Phong at 1024^2
-    (torus stand-in; models/obj.py renders real teapot/bunny files)."""
-    mesh = shapes.torus(major_radius=0.35, minor_radius=0.15,
-                        segments_u=60, segments_v=42)  # 5040 tris
+    """Config 3: the Utah teapot OBJ (~5k tris), per-pixel Phong at
+    1024^2 (BASELINE.json configs[2]; cf. the reference's mesh ingestion
+    at App.swift:124-134)."""
+    mesh = _teapot_mesh()
     t = jnp.asarray(time, jnp.float32)
     q = tf.quat_from_axis_angle(
         tf.normalize(jnp.array([1.0, 0.7, 0.2], jnp.float32)), t)

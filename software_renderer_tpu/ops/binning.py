@@ -138,27 +138,31 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                      ).astype(jnp.int32).reshape(ntiles)
 
     # 3. Sorted, chunk-aligned layout with ONE sort and no scatter (XLA
-    #    TPU scatter of 400k indices measured ~8 ms). (tile, entry-index)
-    #    pairs pack into one int32 (stability comes free from the
-    #    low-order index bits): real pairs plus exactly (pad_counts -
-    #    counts) per-tile alignment *filler* entries (keyed by their tile,
-    #    sorting right after the tile's real entries; the rest keyed past
-    #    the sentinel) sort directly into the final padded layout — slot
-    #    ids decode arithmetically from the packed values.
+    #    TPU scatter of 400k indices measured ~8 ms). (tile, triangle-id)
+    #    pairs pack into one int32 — a triangle's pairs go to *distinct*
+    #    tiles (rectangle enumeration), so (tile, id) is unique, and the
+    #    low-order id bits keep each tile's list in ascending triangle
+    #    order (= reference encoder order) for free. Real pairs plus
+    #    exactly (pad_counts - counts) per-tile alignment *filler* entries
+    #    (keyed by their tile with the sentinel id, sorting right after
+    #    the tile's real entries; the rest keyed past the tile sentinel)
+    #    sort directly into the final padded layout.
     n_pairs = t * kmax
     n_fill = ntiles * chunk
     n_all = n_pairs + n_fill
     pairs_cap = min(int(budget_pairs), -(-n_pairs // chunk) * chunk)
     cap = pairs_cap + n_fill
-    idx_bits = max(n_all - 1, 1).bit_length()
+    id_bits = (t + 1).bit_length()  # ids 0..t-1; t = filler sentinel
     tile_bits = (ntiles + 2).bit_length()
     # Static-shape feasibility; callers check packed_keys_fit() and route
     # to the unbinned kernel instead of hitting this.
-    assert idx_bits + tile_bits <= 31, (
-        f"scene too large for packed binning keys: {t} triangles x {kmax} "
-        f"+ {ntiles} tiles x {chunk} needs {idx_bits + tile_bits} bits")
+    assert id_bits + tile_bits <= 31, (
+        f"scene too large for packed binning keys: {t} triangles over "
+        f"{ntiles} tiles needs {id_bits + tile_bits} bits")
 
-    packed = (keys << idx_bits) | jnp.arange(n_pairs, dtype=jnp.int32)
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+    packed = ((keys.reshape(t, kmax) << id_bits)
+              | tri_ids[:, None]).reshape(-1)
     pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
@@ -167,20 +171,20 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     f_tile = f // chunk
     f_active = (f % chunk) < (pad_counts - counts)[f_tile]
     f_keys = jnp.where(f_active, f_tile, ntiles + 1)
-    f_packed = (f_keys << idx_bits) | (n_pairs + f)
+    f_packed = (f_keys << id_bits) | t
     parts = [packed, f_packed]
     if n_all < cap:  # tiny scenes: pad with sentinels so the slice fits
         parts.append(jnp.full((cap - n_all,),
-                              ((ntiles + 1) << idx_bits), jnp.int32))
+                              (((ntiles + 1) << id_bits) | t), jnp.int32))
     sorted2 = jnp.sort(jnp.concatenate(parts))[:cap]
 
     # Decode: real entries map back to their triangle, fillers to -1.
     # Entries beyond a tile's active region (budget tail / sentinel) also
     # decode to -1 via the key check.
-    s_idx = sorted2 & ((1 << idx_bits) - 1)
-    s_key = sorted2 >> idx_bits
-    ids = jnp.where((s_idx < n_pairs) & (s_key < ntiles),
-                    s_idx // kmax, -1).astype(jnp.int32)
+    s_id = sorted2 & ((1 << id_bits) - 1)
+    s_key = sorted2 >> id_bits
+    ids = jnp.where((s_id < t) & (s_key < ntiles),
+                    s_id, -1).astype(jnp.int32)
 
     # Chunk -> tile map + first-chunk flags (scalar prefetch for the
     # kernels' output BlockSpecs). Tail chunks (beyond the last used one)
@@ -225,16 +229,15 @@ def overflow_id_waves(info: BinInfo, ov_len: int) -> jax.Array:
 def packed_keys_fit(t: int, *, width: int, height: int,
                     tile_h: int = TILE_H, tile_w: int = TILE_W,
                     chunk: int = CHUNK, kmax: int = KMAX) -> bool:
-    """Static check that the two-sort packed keys fit in int32 for this
-    scene size; callers fall back to the unbinned kernel when they don't
-    (~400k triangles at 1080p with the default tiles)."""
+    """Static check that the packed (tile, id) sort keys fit in int32 for
+    this scene size; callers fall back to the unbinned kernel when they
+    don't (~2M triangles at 1080p with the default tiles)."""
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
     ntiles = gh * gw
-    n_all = t * kmax + ntiles * chunk
-    idx_bits = max(n_all - 1, 1).bit_length()
+    id_bits = (t + 1).bit_length()
     tile_bits = (ntiles + 2).bit_length()
-    return idx_bits + tile_bits <= 31
+    return id_bits + tile_bits <= 31
 
 
 # ---------------------------------------------------------------------------
@@ -406,8 +409,8 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
 
 
 def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
-                  prm_ref, z_ref, id_ref, out_ref, acc_ref, *, tile_h,
-                  tile_w, chunk, gw, n_channels, n_out, epilogue):
+                  prm_ref, *refs, tile_h, tile_w, chunk, gw, n_channels,
+                  n_out, epilogue, seeded=False):
     """Fused visibility + G-buffer resolve + shading epilogue.
 
     One pass over the binned stream: each triangle's depth test and
@@ -417,14 +420,30 @@ def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
     shading epilogue (ops/shading.py fused_epilogue) runs on the VMEM-
     resident accumulators — the whole reference fragment stage
     (Shaders.metal:116-167) plus lighting in a single kernel.
+
+    seeded: overflow-frame variant — (z, id, G-buffer) tiles are
+    initialized from a pre-merged overflow pass instead of clear values,
+    and the depth test breaks ties by the lex (depth, id) rule so a binned
+    triangle beats a seeded one only when drawn earlier (exactly the
+    reference's first-wins order; equal to plain `<` when unseeded).
     """
+    if seeded:
+        zs_ref, ids_ref, gbs_ref, z_ref, id_ref, out_ref, acc_ref = refs
+    else:
+        z_ref, id_ref, out_ref, acc_ref = refs
     cc = pl.program_id(0)
 
     @pl.when(ff_ref[cc] == 1)
     def _init():
-        z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
-        id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-        acc_ref[:] = jnp.zeros((n_channels, tile_h, tile_w), jnp.float32)
+        if seeded:
+            z_ref[:] = zs_ref[:]
+            id_ref[:] = ids_ref[:]
+            acc_ref[:] = gbs_ref[:]
+        else:
+            z_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+            id_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+            acc_ref[:] = jnp.zeros((n_channels, tile_h, tile_w),
+                                   jnp.float32)
 
     xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
 
@@ -439,6 +458,12 @@ def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
         depth = rec_ref[k, 7] * xs + rec_ref[k, 8] * ys + rec_ref[k, 9]
         cand = jnp.where(inside, depth, jnp.inf)
         better = cand < zbuf  # ascending-id order => first wins ties
+        if seeded:
+            # Lex (depth, id): a seed can carry a LATER triangle at equal
+            # depth; poison entries (tri = -1, cand = +inf) never match
+            # uncovered seed pixels (idbuf = -1).
+            better = jnp.logical_or(
+                better, jnp.logical_and(cand == zbuf, tri < idbuf))
         acc = tuple(
             jnp.where(better,
                       rec_ref[k, REC_BASE + 3 * a] * xs
@@ -482,6 +507,104 @@ def _grid_geometry(width, height, tile_h, tile_w):
 def _ov_len(t: int, chunk: int, overflow_cap: int) -> int:
     """Static per-wave overflow list length (matches build_bins)."""
     return -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
+
+
+def _overflow_visibility(setup, info, depth0, id0, *, width, height,
+                         y_start, tile_h, tile_w, chunk, overflow_cap,
+                         interpret):
+    """Merge ALL overflow triangles into (depth0, id0) in waves of ov_len.
+
+    Uses the lex (depth, id) rule — the global winner is min over
+    (depth, id), which is associative, so wave order cannot change the
+    result and it composes exactly with the binned pass's first-wins-ties
+    semantics. Call INSIDE an overflow-only branch (contains a sort).
+    """
+    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
+    ov_ids = overflow_id_waves(info, ov_len)
+    rec_table = pack_records(setup, chunk)
+
+    def wave(state):
+        k, d, i = state
+        ids = jax.lax.dynamic_slice(ov_ids, (k * ov_len,), (ov_len,))
+        ov_rec16 = gather_stream(rec_table, ids, _poison_row())
+        n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
+        d, i = visibility_pallas_merge(
+            ov_rec16, d, i, width=width, height=height, y_start=y_start,
+            n_live=n_live, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            lex_tie=True, interpret=interpret)
+        return k + 1, d, i
+
+    _, d, i = jax.lax.while_loop(
+        lambda s: s[0] * ov_len < info.n_overflow, wave,
+        (jnp.int32(0), depth0, id0))
+    return d, i
+
+
+def _overflow_gbuffer(setup, info, table, poison, tid_p, gb0, *, width,
+                      height, y_start, tile_h, tile_w, chunk, overflow_cap,
+                      interpret):
+    """Resolve overflow triangles' attribute planes into gb0 [A, H, W]
+    against the winner map tid_p (padded [H+ph, W+pw]). Wave-looped like
+    :func:`_overflow_visibility`; call inside an overflow-only branch."""
+    a = gb0.shape[0]
+    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
+    pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
+    yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
+    ov_ids_all = overflow_id_waves(info, ov_len)
+
+    def wave(state):
+        k, gb = state
+        ids = jax.lax.dynamic_slice(ov_ids_all, (k * ov_len,), (ov_len,))
+        ov_stream = gather_stream(table, ids, poison)
+        nov_chunks = ov_stream.shape[0] // chunk
+        ntiles = gh * gw
+        ct = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), nov_chunks)
+        ff = jnp.tile((jnp.arange(nov_chunks, dtype=jnp.int32) == 0
+                       ).astype(jnp.int32), ntiles)
+        cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
+        n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
+        lv = (cyc * chunk < n_live).astype(jnp.int32)
+        gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
+        merge_kernel = functools.partial(
+            _resolve_merge_kernel, tile_h=tile_h, tile_w=tile_w,
+            chunk=chunk, gw=gw, n_channels=a)
+        grid_spec_m = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # ct, ff, cyc, lv, y_offset
+            grid=(ntiles * nov_chunks,),
+            in_specs=[
+                pl.BlockSpec((chunk, table.shape[-1]),
+                             lambda cc, ct, ff, cyc, lv, yo: (cyc[cc], 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_h, tile_w),
+                             lambda cc, ct, ff, cyc, lv, yo:
+                             (ct[cc] // gw, ct[cc] % gw),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a, tile_h, tile_w),
+                             lambda cc, ct, ff, cyc, lv, yo:
+                             (0, ct[cc] // gw, ct[cc] % gw),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (a, tile_h, tile_w),
+                lambda cc, ct, ff, cyc, lv, yo:
+                (0, ct[cc] // gw, ct[cc] % gw),
+                memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            merge_kernel,
+            grid_spec=grid_spec_m,
+            out_shape=jax.ShapeDtypeStruct(
+                (a, height + pad_h, width + pad_w), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(ct, ff, cyc, lv, yoff, ov_stream, tid_p, gb_p)
+        return k + 1, out[:, :height, :width]
+
+    _, gb = jax.lax.while_loop(
+        lambda s: s[0] * ov_len < info.n_overflow, wave,
+        (jnp.int32(0), gb0))
+    return gb
 
 
 def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
@@ -558,36 +681,16 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     tri_id_s = tri_id[:height, :width] if (pad_h or pad_w) else tri_id
 
     # --- overflow visibility (rare; lex (depth, id) tie merge) -------------
-    # Processed in waves of ov_len inside an overflow-only branch, so ANY
-    # overflow volume renders correctly (nothing is dropped past a cap)
-    # and spill-free frames pay nothing — not even the id compaction sort.
-    # The lex (depth, id) rule is associative, so wave order cannot change
-    # the result.
-    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
-
-    def vis_with_overflow(args):
-        ov_ids = overflow_id_waves(info, ov_len)
-        rec_table = pack_records(setup, chunk)
-
-        def wave(state):
-            k, d, i = state
-            ids = jax.lax.dynamic_slice(ov_ids, (k * ov_len,), (ov_len,))
-            ov_rec16 = gather_stream(rec_table, ids, _poison_row())
-            n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
-            d, i = visibility_pallas_merge(
-                ov_rec16, d, i, width=width, height=height,
-                y_start=y_start, n_live=n_live, tile_h=tile_h,
-                tile_w=tile_w, chunk=chunk, lex_tie=True,
-                interpret=interpret)
-            return k + 1, d, i
-
-        _, d, i = jax.lax.while_loop(
-            lambda s: s[0] * ov_len < info.n_overflow, wave,
-            (jnp.int32(0),) + args)
-        return d, i
-
+    # Processed in waves inside an overflow-only branch, so ANY overflow
+    # volume renders correctly (nothing is dropped past a cap) and
+    # spill-free frames pay nothing — not even the id compaction sort.
     depth_s, tri_id_s = jax.lax.cond(
-        info.n_overflow > 0, vis_with_overflow, lambda args: args,
+        info.n_overflow > 0,
+        lambda args: _overflow_visibility(
+            setup, info, *args, width=width, height=height,
+            y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            overflow_cap=overflow_cap, interpret=interpret),
+        lambda args: args,
         (depth_s, tri_id_s))
 
     if a == 0:
@@ -629,65 +732,13 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     gb = gb[:, :height, :width]
 
     # --- overflow resolve (rare; same wave scheme as the visibility merge) --
-    def gb_wave_body(state, ov_ids):
-        k, gb = state
-        ids = jax.lax.dynamic_slice(ov_ids, (k * ov_len,), (ov_len,))
-        ov_stream = gather_stream(table, ids, poison)
-        nov_chunks = ov_stream.shape[0] // chunk
-        ntiles = gh * gw
-        ct = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), nov_chunks)
-        ff = jnp.tile((jnp.arange(nov_chunks, dtype=jnp.int32) == 0
-                       ).astype(jnp.int32), ntiles)
-        cyc = jnp.tile(jnp.arange(nov_chunks, dtype=jnp.int32), ntiles)
-        n_live = jnp.clip(info.n_overflow - k * ov_len, 0, ov_len)
-        lv = (cyc * chunk < n_live).astype(jnp.int32)
-        gb_p = jnp.pad(gb, ((0, 0), (0, pad_h), (0, pad_w)))
-        merge_kernel = functools.partial(
-            _resolve_merge_kernel, tile_h=tile_h, tile_w=tile_w,
-            chunk=chunk, gw=gw, n_channels=a)
-        grid_spec_m = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # ct, ff, cyc, lv, y_offset
-            grid=(ntiles * nov_chunks,),
-            in_specs=[
-                pl.BlockSpec((chunk, wtot),
-                             lambda cc, ct, ff, cyc, lv, yo: (cyc[cc], 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile_h, tile_w),
-                             lambda cc, ct, ff, cyc, lv, yo:
-                             (ct[cc] // gw, ct[cc] % gw),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, tile_h, tile_w),
-                             lambda cc, ct, ff, cyc, lv, yo:
-                             (0, ct[cc] // gw, ct[cc] % gw),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (a, tile_h, tile_w),
-                lambda cc, ct, ff, cyc, lv, yo:
-                (0, ct[cc] // gw, ct[cc] % gw),
-                memory_space=pltpu.VMEM),
-        )
-        out = pl.pallas_call(
-            merge_kernel,
-            grid_spec=grid_spec_m,
-            out_shape=jax.ShapeDtypeStruct(
-                (a, height + pad_h, width + pad_w), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
-            interpret=interpret,
-        )(ct, ff, cyc, lv, yoff, ov_stream, tid_p, gb_p)
-        return k + 1, out[:, :height, :width]
-
-    def gb_with_overflow(gb):
-        ov_ids = overflow_id_waves(info, ov_len)
-        _, gb = jax.lax.while_loop(
-            lambda s: s[0] * ov_len < info.n_overflow,
-            functools.partial(gb_wave_body, ov_ids=ov_ids),
-            (jnp.int32(0), gb))
-        return gb
-
-    gb = jax.lax.cond(info.n_overflow > 0, gb_with_overflow,
-                      lambda g: g, gb)
+    gb = jax.lax.cond(
+        info.n_overflow > 0,
+        lambda g: _overflow_gbuffer(
+            setup, info, table, poison, tid_p, g, width=width,
+            height=height, y_start=y_start, tile_h=tile_h, tile_w=tile_w,
+            chunk=chunk, overflow_cap=overflow_cap, interpret=interpret),
+        lambda g: g, gb)
     return depth_s, tri_id_s, jnp.moveaxis(gb, 0, -1)
 
 
@@ -708,10 +759,13 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     Returns (depth [H, W], tri_id [H, W], out [n_out, H, W]).
 
     Overflow scenes (triangles spanning > kmax tiles or past the pair
-    budget) take a cond'd fallback: the split visibility/resolve pipeline
-    with wave-merged overflow, epilogue applied in XLA — always correct,
-    just slower. Scenes whose packed binning keys don't fit int32 route
-    statically to the unbinned kernel + XLA resolve.
+    budget) stay on the fused kernel: the spilled triangles are pre-merged
+    into full-frame (z, id, G-buffer) seed buffers by the wave kernels and
+    the fused pass initializes its tiles from them (lex (depth, id) tie
+    rule — first-drawn wins, order-independent), so a frame with a few
+    huge triangles costs the fused pass plus one cheap merge wave instead
+    of falling off a cliff. Scenes whose packed binning keys don't fit
+    int32 route statically to the unbinned kernel + XLA resolve.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -748,21 +802,40 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
     tile_idx = lambda cc, ct, ff, lv, lf, yo: (ct[cc] // gw, ct[cc] % gw)
 
-    def fast(_):
+    def run_fused(seeds):
+        """One fused-kernel pass; seeds = (z, id, gb) padded arrays or
+        None for the clear-initialized fast variant."""
+        seeded = seeds is not None
         kernel = functools.partial(
             _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue)
+            gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue,
+            seeded=seeded)
+        in_specs = [
+            pl.BlockSpec((chunk, wtot),
+                         lambda cc, ct, ff, lv, lf, yo: (cc, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, prm.shape[1]),
+                         lambda cc, ct, ff, lv, lf, yo: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        args = [stream, prm]
+        if seeded:
+            in_specs += [
+                pl.BlockSpec((tile_h, tile_w), tile_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_h, tile_w), tile_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (a, tile_h, tile_w),
+                    lambda cc, ct, ff, lv, lf, yo:
+                    (0, ct[cc] // gw, ct[cc] % gw),
+                    memory_space=pltpu.VMEM),
+            ]
+            args += list(seeds)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,  # ct, ff, lv, lf, y_off
             grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec((chunk, wtot),
-                             lambda cc, ct, ff, lv, lf, yo: (cc, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, prm.shape[1]),
-                             lambda cc, ct, ff, lv, lf, yo: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((tile_h, tile_w), tile_idx,
                              memory_space=pltpu.VMEM),
@@ -792,18 +865,38 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(info.chunk_tile, info.first_flag, info.live_flag,
-          info.last_flag, yoff, stream, prm)
+          info.last_flag, yoff, *args)
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])
 
+    def fast(_):
+        return run_fused(None)
+
     def slow(_):
-        # Overflow present: split pipeline with wave merges (recomputes
-        # the bins inside the branch — costs nothing when not taken).
-        depth, tri_id, gb = binned_pipeline(
-            setup, attrs, width=width, height=height, y_start=y_start,
-            tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
+        # Overflow present (triangles spanning > kmax tiles or past the
+        # pair budget): pre-merge ALL of them into full-frame (z, id,
+        # G-buffer) seeds with the wave kernels, then run the SAME fused
+        # kernel seeded from those buffers (lex (depth, id) ties keep the
+        # reference's first-wins order). The binned majority still renders
+        # at fused-kernel speed — no cliff, nothing dropped at any spill
+        # size.
+        z0 = jnp.full((height, width), jnp.inf, jnp.float32)
+        i0 = jnp.full((height, width), -1, jnp.int32)
+        z_ov, id_ov = _overflow_visibility(
+            setup, info, z0, i0, width=width, height=height,
+            y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             overflow_cap=overflow_cap, interpret=interpret)
-        return depth, tri_id, xla_epilogue(tri_id, gb)
+        tid_p = jnp.pad(id_ov, ((0, pad_h), (0, pad_w)),
+                        constant_values=-1) if (pad_h or pad_w) else id_ov
+        gb_ov = _overflow_gbuffer(
+            setup, info, table, poison, tid_p,
+            jnp.zeros((a, height, width), jnp.float32), width=width,
+            height=height, y_start=y_start, tile_h=tile_h, tile_w=tile_w,
+            chunk=chunk, overflow_cap=overflow_cap, interpret=interpret)
+        z_p = jnp.pad(z_ov, ((0, pad_h), (0, pad_w)),
+                      constant_values=jnp.inf)
+        gb_p = jnp.pad(gb_ov, ((0, 0), (0, pad_h), (0, pad_w)))
+        return run_fused((z_p, tid_p, gb_p))
 
     return jax.lax.cond(info.n_overflow == 0, fast, slow, None)
 

@@ -71,8 +71,8 @@ def triangle_setup(screen, tris, width, height,
 
 def triangle_setup_from_corners(v, width, height,
                                 cull_backfaces: bool = False,
-                                front_face_ccw: bool = True
-                                ) -> TriangleSetup:
+                                front_face_ccw: bool = True,
+                                extra_valid=None) -> TriangleSetup:
     """Compute per-triangle raster coefficients.
 
     Args:
@@ -85,6 +85,8 @@ def triangle_setup_from_corners(v, width, height,
         App.swift:124).
       front_face_ccw: model-space winding convention; after the NDC y-flip a
         CCW model triangle has screen D > 0.
+      extra_valid: optional [T] bool mask ANDed into validity (near-plane
+        cull/clip masks from ops/clip.py, padding slots, ...).
     """
     x1, y1, z1 = v[:, 0, 0], v[:, 0, 1], v[:, 0, 2]
     x2, y2, z2 = v[:, 1, 0], v[:, 1, 1], v[:, 1, 2]
@@ -141,6 +143,8 @@ def triangle_setup_from_corners(v, width, height,
     bbox = jnp.stack([x0, y0, x1b, y1b], axis=-1).astype(jnp.int32)
 
     valid = ~degenerate & ~offscreen
+    if extra_valid is not None:
+        valid = valid & extra_valid
     if cull_backfaces:
         front = (d > 0.0) if front_face_ccw else (d < 0.0)
         valid = valid & front

@@ -295,7 +295,8 @@ def shade(setup, tri_id, tris, *, shading: str,
           normal_matrix=None,
           view_dir=(0.0, 0.0, -1.0),
           y_start=0,
-          w_tri=None):
+          w_tri=None,
+          corner_attrs=None):
     """Shade the frame from a visibility buffer.
 
     Args:
@@ -311,6 +312,9 @@ def shade(setup, tri_id, tris, *, shading: str,
       view_dir: direction from the surface toward the viewer in lighting
         space; the reference's implied camera sits at (0,0,-1) looking down
         +z (3d.md, Renderer.swift:134-140), hence the (0,0,-1) default.
+      corner_attrs: optional precomputed ([T, 3, A] attrs, chans) pair,
+        bypassing the per-vertex gather — used when the triangle list does
+        not index the mesh directly (near-plane-clipped corners).
 
     Returns: color [H, W, 4] float32.
     """
@@ -318,9 +322,12 @@ def shade(setup, tri_id, tris, *, shading: str,
         raise ValueError("'vertex' shading requires per-vertex colors")
     if shading == "textured" and (uvs is None or texture is None):
         raise ValueError("'textured' shading requires uvs + texture")
-    attrs, chans = gather_attribute_values(
-        shading, tris, colors=colors, normals=normals, uvs=uvs,
-        has_light=light is not None and normals is not None)
+    if corner_attrs is not None:
+        attrs, chans = corner_attrs
+    else:
+        attrs, chans = gather_attribute_values(
+            shading, tris, colors=colors, normals=normals, uvs=uvs,
+            has_light=light is not None and normals is not None)
     from ..framebuffer import NO_TRIANGLE
     covered = tri_id != NO_TRIANGLE
     if attrs is not None:

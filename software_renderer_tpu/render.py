@@ -32,12 +32,14 @@ import jax.numpy as jnp
 from .framebuffer import Framebuffer, CLEAR_COLOR
 from .models.mesh import Mesh
 from .ops import lines as lines_ops
+from .ops.clip import (clip_near as clip_near_plane, compose_attrs,
+                       cull_behind_mask, transform_corners_clip)
 from .ops.rasterize_ref import visibility_ref
 from .ops.setup import (triangle_setup, triangle_setup_from_corners,
                         TriangleSetup)
-from .ops.shading import Light, shade
+from .ops.shading import Light, gather_attribute_values, shade
 from .ops.texture import Texture
-from .ops.vertex import corner_stage, vertex_stage
+from .ops.vertex import ndc_to_screen, vertex_stage
 
 
 @jax.tree_util.register_dataclass
@@ -66,6 +68,15 @@ class RenderPass:
     # Supported on the 'reference'/'pallas' backends' resolve path.
     perspective_correct: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+
+    # Near-plane handling. The reference divides by clip-w blindly
+    # (Shaders.metal:68) and rasterizes garbage for triangles straddling
+    # the eye plane; by default we *cull* any triangle with a vertex at
+    # w <= eps (free, branchless). clip_near=True instead clips exactly
+    # against the near plane (ops/clip.py: 1 triangle -> up to 2, a static
+    # [2T] array, attributes interpolated through the cut).
+    clip_near: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
 
     light: Optional[Light] = None
     texture: Optional[Texture] = None
@@ -120,11 +131,25 @@ def render_triangles(rp: RenderPass, backend: str,
     y0 = 0 if y_start is None else y_start
     tris = mesh.triangles()
     # Corner gather in model space (transform-invariant: XLA hoists it out
-    # of frame loops), then one batched corner transform.
+    # of frame loops), then one batched corner transform — kept in clip
+    # space so the near-plane guard sees w *before* the divide (the
+    # reference divides blindly, Shaders.metal:68).
     corners = mesh.positions[tris]
-    screen_c, w_c = corner_stage(corners, rp.transform, rp.width, rp.height)
+    clip_c = transform_corners_clip(corners, rp.transform)
+    if rp.clip_near:
+        # Exact near-plane clip: [T] -> [2T] triangles; new corners carry
+        # barycentric weights for attribute composition below.
+        clip_c, cbary, cvalid = clip_near_plane(clip_c)
+    else:
+        cbary, cvalid = None, cull_behind_mask(clip_c)
+    w_c = clip_c[:, :, 3]
+    ndc = clip_c[:, :, :3] / jnp.where(w_c == 0.0, 1.0, w_c)[:, :, None]
+    t_out = ndc.shape[0]
+    screen_c = ndc_to_screen(ndc.reshape(t_out * 3, 3), rp.width,
+                             rp.height).reshape(t_out, 3, 3)
     setup = triangle_setup_from_corners(screen_c, rp.width, rp.height,
-                                        cull_backfaces=rp.cull_backfaces)
+                                        cull_backfaces=rp.cull_backfaces,
+                                        extra_valid=cvalid)
     if backend == "auto":
         backend = ("binned" if setup.num_triangles >= AUTO_BIN_THRESHOLD
                    else "pallas")
@@ -133,6 +158,19 @@ def render_triangles(rp: RenderPass, backend: str,
     if rp.model is not None:
         rot = rp.model[:3, :3]
         normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
+
+    def clipped_corner_attrs():
+        """(attrs, chans) for shade() when the triangle list is the clipped
+        [2T] array (shade's own gather would index the unclipped mesh)."""
+        if not rp.clip_near:
+            return None
+        a0, c0 = gather_attribute_values(
+            rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+            uvs=mesh.uvs,
+            has_light=rp.light is not None and mesh.normals is not None)
+        if a0 is None:
+            return None
+        return (compose_attrs(cbary, a0), c0)
 
     if backend == "binned":
         # Fast path: binned visibility + fused Pallas resolve-and-shade
@@ -143,7 +181,7 @@ def render_triangles(rp: RenderPass, backend: str,
         from .ops.binning import binned_pipeline, fused_pipeline
         from .ops.shading import (
             finish_fused, fused_epilogue, fused_output_channels,
-            gather_attribute_values, shade_gbuffer, shading_params)
+            shade_gbuffer, shading_params)
 
         has_light = rp.light is not None and mesh.normals is not None
         # Bake the normal matrix into the per-vertex normals (linear, so it
@@ -155,6 +193,8 @@ def render_triangles(rp: RenderPass, backend: str,
         attrs, chans = gather_attribute_values(
             rp.shading, tris, colors=mesh.colors, normals=normals,
             uvs=mesh.uvs, has_light=has_light)
+        if rp.clip_near and attrs is not None:
+            attrs = compose_attrs(cbary, attrs)
         if rp.perspective_correct:
             # Perspective-correct interpolation needs per-pixel 1/w terms;
             # use the XLA resolve path on the binned visibility buffer.
@@ -167,7 +207,8 @@ def render_triangles(rp: RenderPass, backend: str,
                 colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
                 light=rp.light, texture=rp.texture,
                 flat_color=rp.flat_color, normal_matrix=normal_matrix,
-                y_start=y0, w_tri=w_c)
+                y_start=y0, w_tri=w_c,
+                corner_attrs=clipped_corner_attrs())
             return Framebuffer(color=color, depth=depth)
         if attrs is None:
             depth, tri_id, _ = binned_pipeline(
@@ -213,6 +254,7 @@ def render_triangles(rp: RenderPass, backend: str,
         flat_color=rp.flat_color, normal_matrix=normal_matrix,
         y_start=y0,
         w_tri=w_c if rp.perspective_correct else None,
+        corner_attrs=clipped_corner_attrs(),
     )
     return Framebuffer(color=color, depth=depth)
 

@@ -73,6 +73,12 @@ def write_png(path: str, image) -> None:
         raise IOError(f"sr_write_png failed with code {rc}")
 
 
+def read_png(path: str) -> np.ndarray:
+    """PNG decode (pure-Python zlib path; see utils.image_io)."""
+    from ..utils.image_io import read_png as py_read_png
+    return py_read_png(path)
+
+
 def load_obj(path: str, abs_normal_colors: bool = True):
     """Native OBJ load; falls back to models.obj.load_obj."""
     from ..models.mesh import mesh_from_numpy

@@ -97,6 +97,55 @@ def oracle_rasterize(screen, tris, colors_tri, width, height):
     return color, depth, tri_id
 
 
+def oracle_clip_near(positions_tri, transform, width, height,
+                     eps=np.float32(1e-6)):
+    """Near-plane clip oracle, mirroring ops/clip.py op-for-op in float32.
+
+    positions_tri: [T, 3, 3] model-space triangle corners.
+    Returns (screen [K, 3, 3] clipped screen-space corners, bary [K, 3, 3],
+    src [K] source-triangle indices) for the K valid output triangles — plain Sutherland-Hodgman per
+    triangle (vertex order v0,v1,v2 with prev starting at v2, the same
+    walk the LUT in ops/clip.py encodes, so the fan triangulation emits
+    triangles in the same corner order), projected and rounded with the
+    standard vertex-stage formula.
+    """
+    m = np.asarray(transform, np.float32)
+    out_screen, out_bary, out_src = [], [], []
+    eye = np.eye(3, dtype=np.float32)
+    for t, tri in enumerate(np.asarray(positions_tri, np.float32)):
+        clip = tri @ m[:, :3].T + m[:, 3]  # [3, 4]
+        w = clip[:, 3]
+        poly = []  # (clip_pos, bary) pairs
+        for i in range(3):
+            prev, cur = (i - 1) % 3, i
+            pin, cin = bool(w[prev] >= eps), bool(w[cur] >= eps)
+            if cin != pin:
+                s = np.float32((eps - w[prev]) / (w[cur] - w[prev]))
+                p = clip[prev] + s * (clip[cur] - clip[prev])
+                b = eye[prev] + s * (eye[cur] - eye[prev])
+                poly.append((p.astype(np.float32), b.astype(np.float32)))
+            if cin:
+                poly.append((clip[cur], eye[cur]))
+        for k in range(1, len(poly) - 1):  # fan triangulation
+            tri_clip = np.stack([poly[0][0], poly[k][0], poly[k + 1][0]])
+            tri_bary = np.stack([poly[0][1], poly[k][1], poly[k + 1][1]])
+            wv = tri_clip[:, 3]
+            ndc = (tri_clip[:, :3].T / wv).T.astype(np.float32)
+            uv = (ndc[:, :2] * np.array([0.5, -0.5], np.float32)
+                  + np.float32(0.5))
+            scaled = uv * np.array([width, height], np.float32)
+            pix = np.sign(scaled) * np.floor(np.abs(scaled) + np.float32(0.5))
+            out_screen.append(np.concatenate([pix, ndc[:, 2:3]],
+                                             axis=-1).astype(np.float32))
+            out_bary.append(tri_bary)
+            out_src.append(t)
+    if not out_screen:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 3), np.float32),
+                np.zeros((0,), np.int64))
+    return np.stack(out_screen), np.stack(out_bary), np.asarray(out_src)
+
+
 def oracle_render(positions, tris, colors, transform, width, height):
     """Full-frame oracle with vertex-color shading (the reference's live
     scene semantics, App.swift:140-185)."""

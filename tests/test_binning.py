@@ -120,6 +120,45 @@ def test_binned_pair_budget_spills_to_overflow():
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
 
 
+def test_fused_overflow_seeded_matches_unseeded():
+    # The fused kernel's SEEDED path (overflow pre-merged into z/id/
+    # G-buffer seeds): forcing kmax=1 makes every multi-tile triangle
+    # spill, and the result must equal the spill-free (kmax default) run
+    # exactly — nothing dropped, lex ties = first-drawn-wins.
+    from functools import partial
+    from software_renderer_tpu.models import scenes
+    from software_renderer_tpu.ops.binning import build_bins, fused_pipeline
+    from software_renderer_tpu.ops.setup import triangle_setup_from_corners
+    from software_renderer_tpu.ops.shading import (
+        fused_epilogue, fused_output_channels, gather_attribute_values,
+        shading_params)
+    from software_renderer_tpu.ops.vertex import corner_stage
+    w, h = 192, 128  # 64x128 tiles -> 2x2 grid; plenty of 2+-tile spans
+    rp = scenes.config2_textured_cube(0.7, width=w, height=h)
+    mesh = rp.mesh
+    tris = mesh.triangles()
+    sc, _ = corner_stage(mesh.positions[tris], rp.transform, w, h)
+    s = triangle_setup_from_corners(sc, w, h)
+    assert int(build_bins(s, width=w, height=h, kmax=1).n_overflow) > 0
+    assert int(build_bins(s, width=w, height=h).n_overflow) == 0
+    has_light = rp.light is not None
+    attrs, chans = gather_attribute_values(
+        rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+        uvs=mesh.uvs, has_light=has_light)
+    out_chans = fused_output_channels(rp.shading, chans, has_light, True)
+    n_out = sum(sz for _, sz in out_chans)
+    params = shading_params(rp.light, flat_color=rp.flat_color)
+    epi = partial(fused_epilogue, chans=chans, has_light=has_light,
+                  has_texture=True)
+    run = lambda kmax: fused_pipeline(s, attrs, params, width=w, height=h,
+                                      epilogue=epi, n_out=n_out, kmax=kmax)
+    d0, i0, o0 = run(12)   # all binned (fast variant)
+    d1, i1, o1 = run(1)    # everything spills (seeded variant)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+
+
 def test_bin_stream_invariants():
     rng = np.random.default_rng(9)
     n = 30
