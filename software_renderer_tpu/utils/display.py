@@ -51,14 +51,25 @@ class FrameLoop:
                                      transform=self._transform_fn(self.time))
         else:
             rp = self._scene_fn(self.time)
-        fb = render(rp, backend=self.config.backend)
+        if self.config.msaa > 1:
+            from ..ops.msaa import render_msaa
+            fb = render_msaa(rp, samples=self.config.msaa,
+                             backend=self.config.backend)
+        else:
+            fb = render(rp, backend=self.config.backend)
         self.time += self.config.time_step
         bump("frames")
         return fb
 
     def run(self, n_frames: int, out_dir: Optional[str] = None,
             writer=None) -> float:
-        """Render n_frames; optionally sink PNGs. Returns mean FPS."""
+        """Render n_frames; optionally sink PNGs. Returns mean FPS.
+
+        Each frame runs under a ``jax.profiler`` span and lands in
+        ``utils.profiling.stage_times['frame']`` — wrap a call in
+        ``utils.profiling.trace()`` to get a full timeline.
+        """
+        from .profiling import span, timed
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             if writer is None:
@@ -67,13 +78,14 @@ class FrameLoop:
         pending = None  # (index, framebuffer) — encode behind the device
         t0 = _time.perf_counter()
         for i in range(n_frames):
-            fb = self.frame()
+            with span(f"frame_{i}"), timed("frame") as out:
+                fb = self.frame()
+                if not out_dir:
+                    out.append(fb.color)
             if out_dir:
                 if pending is not None:
                     self._write(writer, out_dir, *pending)
                 pending = (i, fb)
-            else:
-                jax.block_until_ready(fb.color)
         if pending is not None:
             self._write(writer, out_dir, *pending)
         else:

@@ -52,3 +52,39 @@ def test_chunked_batch_matches_flat_vmap():
                         atol=1e-5)
     assert bad_c.any(axis=-1).mean() < 0.01
     assert bad_d.mean() < 0.01
+
+
+def test_frameloop_honors_msaa_knob():
+    from software_renderer_tpu.utils.config import RenderConfig
+    from software_renderer_tpu.utils.display import FrameLoop
+    from software_renderer_tpu.models import scenes
+
+    def scene(t):
+        rp = scenes.rotating_triangle(t, width=32, height=32)
+        return rp
+
+    fb1 = FrameLoop(scene, config=RenderConfig(msaa=1,
+                                               backend="reference")).frame()
+    fb2 = FrameLoop(scene, config=RenderConfig(msaa=2,
+                                               backend="reference")).frame()
+    assert fb2.color.shape == fb1.color.shape  # downsampled back
+    a1 = np.asarray(fb1.color)[..., 3]
+    a2 = np.asarray(fb2.color)[..., 3]
+    # Supersampling produces fractional-coverage edge pixels.
+    assert ((a2 > 0) & (a2 < 1)).sum() > 0
+    assert set(np.unique(a1)) <= {0.0, 1.0}
+
+
+def test_frameloop_records_profiling_stages():
+    from software_renderer_tpu.utils import profiling
+    from software_renderer_tpu.utils.config import RenderConfig
+    from software_renderer_tpu.utils.display import FrameLoop
+    from software_renderer_tpu.models import scenes
+
+    profiling.stage_times.clear()
+    loop = FrameLoop(lambda t: scenes.rotating_triangle(t, width=24,
+                                                        height=24),
+                     config=RenderConfig(backend="reference"))
+    loop.run(3)
+    assert len(profiling.stage_times["frame"]) == 3
+    assert "frame" in profiling.report()

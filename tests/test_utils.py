@@ -118,3 +118,38 @@ def test_many_objects_scene_budget():
     t = mesh.indices.shape[0] // 3
     assert 2000 <= t <= 3000
     assert mesh.normals is not None and mesh.uvs is not None
+
+
+def test_resize_bilinear_and_nearest():
+    from software_renderer_tpu.ops.resize import (resize_bilinear,
+                                                  resize_nearest)
+    # Constant image stays constant under any resize (weights sum to 1).
+    img = np.full((16, 24, 3), 0.37, np.float32)
+    out = np.asarray(resize_bilinear(img, 23, 48))
+    np.testing.assert_allclose(out, 0.37, atol=1e-6)
+    # A horizontal ramp stays a ramp (bilinear is linear-exact).
+    x = np.linspace(0.0, 1.0, 32, dtype=np.float32)
+    ramp = np.tile(x[None, :, None], (8, 1, 3))
+    up = np.asarray(resize_bilinear(ramp, 8, 64))
+    diffs = np.diff(up[4, :, 0])
+    assert (diffs[1:-1] >= -1e-6).all()  # monotone interior
+    np.testing.assert_allclose(up[:, 0, 0], x[0], atol=1e-6)
+    # Nearest 2x upscale replicates pixels exactly (App.swift:31-36).
+    img2 = np.arange(12, dtype=np.float32).reshape(3, 4)
+    up2 = np.asarray(resize_nearest(img2, 6, 8))
+    np.testing.assert_array_equal(up2[::2, ::2], img2)
+    np.testing.assert_array_equal(up2[1::2, 1::2], img2)
+    # 2D (single-channel) path.
+    assert resize_bilinear(img2, 5, 5).shape == (5, 5)
+
+
+def test_device_info_and_block_on():
+    from software_renderer_tpu.utils.device import (DeviceInfo, block_on,
+                                                    memory_in_use)
+    info = DeviceInfo.query()
+    assert info.platform in ("cpu", "tpu")
+    assert info.index >= 0
+    x = jnp.ones((8, 8)) * 2.0
+    assert block_on(x) is x
+    mem = memory_in_use()
+    assert mem is None or mem >= 0

@@ -46,8 +46,10 @@ TILE_H = int(os.environ.get("PROF_TILE_H", "0")) or None
 TILE_W = int(os.environ.get("PROF_TILE_W", "0")) or None
 CHUNK = int(os.environ.get("PROF_CHUNK", "0")) or None
 KMAX = int(os.environ.get("PROF_KMAX", "0")) or None
+TEXTURED = os.environ.get("PROF_TEXTURED", "1") != "0"
 
-rp = scenes.config4_many_objects(0.0, width=W, height=H, triangles=TRIS)
+rp = scenes.config4_many_objects(0.0, width=W, height=H, triangles=TRIS,
+                                 textured=TEXTURED)
 mesh = rp.mesh
 tris = mesh.triangles()
 corners = mesh.positions[tris]
