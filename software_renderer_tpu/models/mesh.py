@@ -103,8 +103,10 @@ def transform_mesh(mesh: Mesh, matrix) -> Mesh:
     pos = mesh.positions @ m[:3, :3].T + m[:3, 3]
     normals = mesh.normals
     if normals is not None:
-        rot = m[:3, :3]
-        normals = normals @ jnp.linalg.inv(rot).astype(jnp.float32)
+        from ..ops.transforms import inverse_transpose_3x3
+        # n' = n @ inv(rot) == n @ inverse-transpose(rot).T (adjugate form
+        # keeps XLA's general LU inverse out of jitted mesh updates).
+        normals = normals @ inverse_transpose_3x3(m[:3, :3]).T
         norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
         normals = normals / jnp.maximum(norm, 1e-12)
     return dataclasses.replace(mesh, positions=pos, normals=normals)

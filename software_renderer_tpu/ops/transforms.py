@@ -70,6 +70,22 @@ def normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
+def inverse_transpose_3x3(m):
+    """Closed-form adjugate inverse-transpose of a 3x3 (the normal matrix).
+
+    inv(M).T == adj(M).T / det(M); the scale factor is irrelevant for
+    normals (they are renormalized per pixel), but dividing by det keeps
+    magnitudes sane for reuse. Closed form keeps the frame loop free of
+    XLA's general LU path."""
+    m = jnp.asarray(m, jnp.float32)
+    c0 = jnp.cross(m[:, 1], m[:, 2])
+    c1 = jnp.cross(m[:, 2], m[:, 0])
+    c2 = jnp.cross(m[:, 0], m[:, 1])
+    det = jnp.dot(m[:, 0], c0)
+    adj_t = jnp.stack([c0, c1, c2], axis=1)  # columns = cofactor columns
+    return adj_t / jnp.where(det == 0.0, 1.0, det)
+
+
 # --------------------------------------------------------------------------
 # 4x4 matrices
 # --------------------------------------------------------------------------

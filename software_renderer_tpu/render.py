@@ -156,8 +156,8 @@ def render_triangles(rp: RenderPass, backend: str,
     rp = dataclasses.replace(rp, height=out_h)
     normal_matrix = None
     if rp.model is not None:
-        rot = rp.model[:3, :3]
-        normal_matrix = jnp.linalg.inv(rot).T.astype(jnp.float32)
+        from .ops.transforms import inverse_transpose_3x3
+        normal_matrix = inverse_transpose_3x3(rp.model[:3, :3])
 
     def clipped_corner_attrs():
         """(attrs, chans) for shade() when the triangle list is the clipped
