@@ -18,6 +18,10 @@ from .framebuffer import (
     clear,
     to_rgba8,
     to_bgra8,
+    encode_pixels,
+    decode_pixels,
+    bytes_per_pixel,
+    PIXEL_FORMATS,
     CLEAR_COLOR,
     CLEAR_DEPTH,
     NO_TRIANGLE,
@@ -36,6 +40,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Framebuffer", "create_framebuffer", "clear", "to_rgba8", "to_bgra8",
+    "encode_pixels", "decode_pixels", "bytes_per_pixel", "PIXEL_FORMATS",
     "CLEAR_COLOR", "CLEAR_DEPTH", "NO_TRIANGLE",
     "RenderPass", "render", "render_rows", "render_msaa",
     "Mesh", "mesh_from_numpy", "merge_meshes", "transform_mesh", "shapes",

@@ -102,3 +102,86 @@ def to_bgra8(color: jax.Array) -> jax.Array:
 def from_rgba8(img: jax.Array) -> jax.Array:
     """uint8 RGBA -> float RGBA in [0,1]."""
     return img.astype(jnp.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Pixel-format registry — the analogue of the reference's MTLPixelFormat
+# metadata tables (Metal+Extensions.swift:511-595: bytes-per-pixel +
+# channel-count switches). Each entry: (bytes_per_pixel, channels,
+# encode_fn, decode_fn); encode takes [..., 4] float RGBA, decode returns
+# [..., 4] float RGBA (missing channels fill g=b=0 / a=1, matching Metal's
+# texture swizzle defaults).
+# ---------------------------------------------------------------------------
+
+def _encode_rgb565(color):
+    q = jnp.clip(color[..., :3], 0.0, 1.0)
+    r = jnp.round(q[..., 0] * 31.0).astype(jnp.uint16)
+    g = jnp.round(q[..., 1] * 63.0).astype(jnp.uint16)
+    b = jnp.round(q[..., 2] * 31.0).astype(jnp.uint16)
+    return (r << 11) | (g << 5) | b
+
+
+def _decode_rgb565(raw):
+    raw = raw.astype(jnp.uint16)
+    r = ((raw >> 11) & 0x1F).astype(jnp.float32) / 31.0
+    g = ((raw >> 5) & 0x3F).astype(jnp.float32) / 63.0
+    b = (raw & 0x1F).astype(jnp.float32) / 31.0
+    return jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+
+
+# Rec.601 luma (the common gray conversion; the reference has no gray
+# format — extension for completeness).
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _encode_gray8(color):
+    w = jnp.asarray(_LUMA, jnp.float32)
+    return quantize_unorm8(jnp.sum(color[..., :3] * w, axis=-1))
+
+
+def _decode_gray8(raw):
+    y = raw.astype(jnp.float32) / 255.0
+    return jnp.stack([y, y, y, jnp.ones_like(y)], axis=-1)
+
+
+PIXEL_FORMATS = {
+    # name: (bytes_per_pixel, channels, encode, decode)
+    "rgba8": (4, 4, to_rgba8,
+              lambda raw: from_rgba8(raw)),
+    "bgra8": (4, 4, to_bgra8,
+              lambda raw: from_rgba8(raw[..., jnp.array([2, 1, 0, 3])])),
+    "rgb565": (2, 3, _encode_rgb565, _decode_rgb565),
+    "gray8": (1, 1, _encode_gray8, _decode_gray8),
+    "rgba16f": (8, 4,
+                lambda c: c.astype(jnp.float16),
+                lambda raw: raw.astype(jnp.float32)),
+    "rgba32f": (16, 4, lambda c: c.astype(jnp.float32), lambda raw: raw),
+    # Depth-style single-channel float (r32Float at App.swift:67-69).
+    "r32f": (4, 1,
+             lambda c: c[..., 0].astype(jnp.float32),
+             lambda raw: jnp.stack([raw, raw, raw, jnp.ones_like(raw)],
+                                   axis=-1)),
+}
+
+
+def encode_pixels(color: jax.Array, fmt: str) -> jax.Array:
+    """[..., 4] float RGBA -> packed pixels in the named format."""
+    try:
+        return PIXEL_FORMATS[fmt][2](color)
+    except KeyError:
+        raise ValueError(f"unknown pixel format {fmt!r}; "
+                         f"have {sorted(PIXEL_FORMATS)}") from None
+
+
+def decode_pixels(raw: jax.Array, fmt: str) -> jax.Array:
+    """Packed pixels -> [..., 4] float RGBA (missing channels defaulted)."""
+    try:
+        return PIXEL_FORMATS[fmt][3](raw)
+    except KeyError:
+        raise ValueError(f"unknown pixel format {fmt!r}; "
+                         f"have {sorted(PIXEL_FORMATS)}") from None
+
+
+def bytes_per_pixel(fmt: str) -> int:
+    """Format stride (Metal+Extensions.swift:511-538 analogue)."""
+    return PIXEL_FORMATS[fmt][0]

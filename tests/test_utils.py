@@ -26,6 +26,36 @@ def test_quantize_roundtrip():
     np.testing.assert_array_equal(bgra[0, 0], [255, 128, 0, 255])
 
 
+def test_pixel_format_registry():
+    """Every registered format round-trips RGBA within its quantization
+    step (Metal+Extensions.swift:511-595's format metadata, as a table)."""
+    rng = np.random.default_rng(1)
+    c = jnp.asarray(rng.random((4, 5, 4)), jnp.float32)
+    steps = {"rgba8": 1 / 255, "bgra8": 1 / 255, "rgb565": 1 / 31,
+             "gray8": None, "rgba16f": 1e-3, "rgba32f": 0.0, "r32f": None}
+    for fmt, (bpp, chans, _, _) in sr.PIXEL_FORMATS.items():
+        raw = sr.encode_pixels(c, fmt)
+        assert sr.bytes_per_pixel(fmt) == bpp
+        back = np.asarray(sr.decode_pixels(raw, fmt))
+        assert back.shape == c.shape
+        step = steps[fmt]
+        if step is None:
+            continue  # lossy beyond per-channel quantization (gray/r32f)
+        k = chans if chans < 4 else 4
+        np.testing.assert_allclose(back[..., :k], np.asarray(c)[..., :k],
+                                   atol=step / 2 + 1e-6)
+    # rgb565 packs to uint16 with documented bit layout
+    raw = np.asarray(sr.encode_pixels(
+        jnp.array([[1.0, 0.0, 0.0, 1.0]]), "rgb565"))
+    assert raw.dtype == np.uint16 and raw[0] == 0b11111_000000_00000
+    # gray8 applies Rec.601 luma
+    g = np.asarray(sr.encode_pixels(jnp.array([[0.0, 1.0, 0.0, 1.0]]),
+                                    "gray8"))
+    assert g[0] == round(0.587 * 255)
+    with pytest.raises(ValueError):
+        sr.encode_pixels(c, "nope")
+
+
 def test_png_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)

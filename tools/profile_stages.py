@@ -142,6 +142,44 @@ def stage_render(i):
     return jnp.sum(fb.color)
 
 
+def _fused_parts(i, with_tail=True):
+    from functools import partial
+    from software_renderer_tpu.ops.binning import fused_pipeline
+    from software_renderer_tpu.ops.shading import (
+        finish_fused, fused_epilogue, fused_output_channels, shading_params)
+    from software_renderer_tpu.ops.transforms import inverse_transpose_3x3
+
+    s = setup_of(i)
+    has_light = rp.light is not None and mesh.normals is not None
+    normal_matrix = inverse_transpose_3x3(rp.model[:3, :3])
+    normals = mesh.normals @ normal_matrix.T
+    attrs, chans = gather_attribute_values(
+        rp.shading, tris, colors=mesh.colors, normals=normals,
+        uvs=mesh.uvs, has_light=has_light)
+    has_texture = rp.shading == "textured"
+    out_chans = fused_output_channels(rp.shading, chans, has_light,
+                                      has_texture)
+    n_out = sum(sz for _, sz in out_chans)
+    params = shading_params(rp.light, flat_color=rp.flat_color)
+    epilogue = partial(fused_epilogue, chans=chans, has_light=has_light,
+                       has_texture=has_texture)
+    depth, tri_id, out = fused_pipeline(
+        s, attrs, params, width=W, height=H, epilogue=epilogue,
+        n_out=n_out, **kw)
+    if not with_tail:
+        return (jnp.sum(out) + jnp.sum(tri_id)
+                + jnp.sum(jnp.where(jnp.isfinite(depth), depth, 0.0)))
+    color = finish_fused(out, tri_id != -1, out_chans=out_chans,
+                         light=rp.light, texture=rp.texture)
+    return jnp.sum(color)
+
+
+def stage_kernel(i):
+    """Fused pipeline WITHOUT the XLA tail (texture gather + combine):
+    isolates the Pallas kernel + binning cost."""
+    return _fused_parts(i, with_tail=False)
+
+
 def stage_fused(i):
     """Full fused path with the PROF_TILE_H/W, PROF_CHUNK, PROF_KMAX knobs
     (sr.render uses compiled-in defaults) — the tile-sweep stage."""
@@ -172,7 +210,14 @@ def stage_fused(i):
     return jnp.sum(color)
 
 
+def stage_vertex(i):
+    """Corner transform alone (no triangle setup) — splits `setup`."""
+    screen_c, w_c = corner_stage(corners, transform_of(i), W, H)
+    return jnp.sum(screen_c) + jnp.sum(w_c)
+
+
 STAGES = [
+    ("vertex", stage_vertex),
     ("setup", stage_setup),
     ("bins", stage_bins),
     ("stream", stage_stream),
@@ -180,6 +225,7 @@ STAGES = [
     ("resolve", stage_resolve),
     ("full", stage_full),
     ("render", stage_render),
+    ("kernel", stage_kernel),
     ("fused", stage_fused),
 ]
 only = os.environ.get("PROF_STAGES")
