@@ -267,24 +267,33 @@ def finish_fused(out_cf, covered, *, out_chans,
     """XLA tail after the fused kernel: texture gather + combine + alpha.
 
     out_cf: [C, H, W] fused epilogue outputs. Returns [H, W, 4] RGBA.
+
+    Every intermediate stays a full-width [H, W] plane (channel-first);
+    the only channel-last tensors are the single quad-gather result inside
+    the planar texture sampler and the final output stack — narrow
+    minor-dim ([H, W, 2/3]) tensors tile to 128 lanes on TPU and turn each
+    elementwise op into a padded relayout.
     """
+    from .texture import sample_texture_planes
+
     names = {n for n, _ in out_chans}
     planes = [out_cf[c] for c in range(out_cf.shape[0])]
-    rgb_cf = (_chan_planes(planes, out_chans, "final")
-              or _chan_planes(planes, out_chans, "rgb")
-              or _chan_planes(planes, out_chans, "lit"))
-    rgb = jnp.stack(rgb_cf, axis=-1)
+    rgb = list(_chan_planes(planes, out_chans, "final")
+               or _chan_planes(planes, out_chans, "rgb")
+               or _chan_planes(planes, out_chans, "lit"))
     if "uv" in names and texture is not None:
-        uv = jnp.stack(_chan_planes(planes, out_chans, "uv"), axis=-1)
-        tex_rgb = sample_texture(texture, uv)[..., :3]
-        rgb = rgb * tex_rgb
+        u, v = _chan_planes(planes, out_chans, "uv")
+        tex = sample_texture_planes(texture, u, v)
+        rgb = [rgb[c] * tex[c] for c in range(3)]
     if "spec" in names:
         spec = _chan_planes(planes, out_chans, "spec")[0]
-        rgb = rgb + (jnp.asarray(light.specular, jnp.float32)
-                     * spec[..., None])
-    alpha = jnp.where(covered, 1.0, 0.0)
-    rgb = jnp.where(covered[..., None], rgb, 0.0)
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        ks = jnp.asarray(light.specular, jnp.float32)
+        rgb = [rgb[c] + ks[c] * spec for c in range(3)]
+    zero = jnp.zeros_like(covered, jnp.float32)
+    one = jnp.ones_like(covered, jnp.float32)
+    rgb = [jnp.where(covered, p, zero) for p in rgb]
+    alpha = jnp.where(covered, one, zero)
+    return jnp.stack(rgb + [alpha], axis=-1)
 
 
 def shade(setup, tri_id, tris, *, shading: str,

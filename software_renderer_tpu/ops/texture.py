@@ -58,6 +58,49 @@ def _quad_table(tex: Texture):
     return quad.reshape(th * tw, 4 * c)
 
 
+def sample_texture_planes(tex: Texture, u, v):
+    """Planar bilinear sample: u, v are separate [...] arrays; returns a
+    list of C [...] planes.
+
+    Identical math to :func:`sample_texture`, but every intermediate is a
+    full-lane-width 2D array — no [..., 2]/[..., 4C] narrow-minor-dim
+    tensors, which on TPU tile the last dimension up to 128 lanes and turn
+    each elementwise op into a padded relayout. The quad gather stays one
+    row gather per pixel.
+    """
+    th, tw = tex.data.shape[0], tex.data.shape[1]
+    c = tex.data.shape[2]
+    u = u * tw
+    v = v * th
+    if tex.filter == "nearest":
+        xi = _wrap_coords(jnp.floor(u).astype(jnp.int32), tw, tex.wrap)
+        yi = _wrap_coords(jnp.floor(v).astype(jnp.int32), th, tex.wrap)
+        flat = tex.data.reshape(th * tw, c)
+        texel = flat[yi * tw + xi]  # [..., C]
+        return [texel[..., i] for i in range(c)]
+    if tex.filter != "bilinear":
+        raise ValueError(f"unknown filter {tex.filter!r}")
+    x = u - 0.5
+    y = v - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
+    ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
+    quad = _quad_table(tex)[ya * tw + xa]  # [..., 4C] (the one gather)
+    out = []
+    for i in range(c):
+        t00 = quad[..., i]
+        t01 = quad[..., c + i]
+        t10 = quad[..., 2 * c + i]
+        t11 = quad[..., 3 * c + i]
+        top = t00 + (t01 - t00) * fx
+        bot = t10 + (t11 - t10) * fx
+        out.append(top + (bot - top) * fy)
+    return out
+
+
 def sample_texture(tex: Texture, uv):
     """Sample at uv in [0,1]^2 (u right, v down). uv: [..., 2].
 

@@ -296,11 +296,18 @@ def render_rows(rp: RenderPass, y_start, rows: int,
     return render_triangles(rp, backend, y_start=y_start, rows=rows)
 
 
-@partial(jax.jit, static_argnames=("backend",))
+@partial(jax.jit, static_argnames=("backend",), inline=True)
 def render(rp: RenderPass, backend: str = "pallas") -> Framebuffer:
     """Render one frame. Fully jit-compiled; vmappable over rp leaves.
 
     Dispatch by primitive type mirrors Renderer.swift:210-219.
+
+    ``inline=True``: when ``render`` is called inside an outer jit (the
+    steady-state frame loop — bench.py's scan, FrameLoop), the frame graph
+    inlines into the caller instead of lowering as a nested call, so XLA
+    fuses the tail with the caller's consumers (measured ~5 ms/frame at
+    1080p: the call boundary blocked fusion and forced materialized
+    layouts).
     """
     if rp.primitive == "triangle":
         return render_triangles(rp, backend)

@@ -67,6 +67,29 @@ def main():
     timed("argsort-u32-pairs 233k", lambda i: jnp.sum(
         jnp.sort((idx233 ^ i).astype(jnp.int32))))
 
+    # Texture-gather shapes: 2M pixels from a 65536-row quad table.
+    quad_f32 = jnp.asarray(rng.random((65536, 12)), jnp.float32)
+    quad_f16 = quad_f32.astype(jnp.float16)
+    quad_u8 = (quad_f32 * 255).astype(jnp.uint8)
+    pix = jnp.asarray(rng.integers(0, 65536, size=2_073_600), jnp.int32)
+    pix2d = pix.reshape(1080, 1920)
+    timed("texgather 2M rows x12 f32", lambda i: jnp.sum(
+        quad_f32[(pix + i) & 65535]))
+    timed("texgather 2M rows x12 f16", lambda i: jnp.sum(
+        quad_f16[(pix + i) & 65535].astype(jnp.float32)))
+    timed("texgather 2M rows x12 u8", lambda i: jnp.sum(
+        quad_u8[(pix + i) & 65535].astype(jnp.float32)))
+    timed("texgather 2M 2D-idx x12 f32", lambda i: jnp.sum(
+        quad_f32[(pix2d + i) & 65535]))
+    timed("texgather 2M flat scalar f32", lambda i: jnp.sum(
+        quad_f32[:, 0][(pix + i) & 65535]))
+    # take_along_axis sublane-table form: 256-entry per-lane tables.
+    tab256 = jnp.asarray(rng.random((256, 128)), jnp.float32)
+    idx_tla = jnp.asarray(rng.integers(0, 256, size=(16200, 128)),
+                          jnp.int32)
+    timed("take_along_axis 2M in 256-tab", lambda i: jnp.sum(
+        jnp.take_along_axis(tab256, (idx_tla + i) % 256, axis=0)))
+
 
 if __name__ == "__main__":
     main()

@@ -166,11 +166,12 @@ def _fused_parts(i, with_tail=True):
     depth, tri_id, out = fused_pipeline(
         s, attrs, params, width=W, height=H, epilogue=epilogue,
         n_out=n_out, **kw)
-    if not with_tail:
+    if with_tail is False:
         return (jnp.sum(out) + jnp.sum(tri_id)
                 + jnp.sum(jnp.where(jnp.isfinite(depth), depth, 0.0)))
-    color = finish_fused(out, tri_id != -1, out_chans=out_chans,
-                         light=rp.light, texture=rp.texture)
+    color = finish_fused(
+        out, tri_id != -1, out_chans=out_chans, light=rp.light,
+        texture=None if with_tail == "notex" else rp.texture)
     return jnp.sum(color)
 
 
@@ -178,6 +179,12 @@ def stage_kernel(i):
     """Fused pipeline WITHOUT the XLA tail (texture gather + combine):
     isolates the Pallas kernel + binning cost."""
     return _fused_parts(i, with_tail=False)
+
+
+def stage_notex(i):
+    """Full fused path but with the texture gather dropped from the tail
+    (combine/alpha only): fused - notex = the bilinear sample cost."""
+    return _fused_parts(i, with_tail="notex")
 
 
 def stage_fused(i):
@@ -226,6 +233,7 @@ STAGES = [
     ("full", stage_full),
     ("render", stage_render),
     ("kernel", stage_kernel),
+    ("notex", stage_notex),
     ("fused", stage_fused),
 ]
 only = os.environ.get("PROF_STAGES")
