@@ -119,7 +119,33 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     dy = k[None, :] // span_w[:, None]
     tile = (ty0[:, None] + dy) * gw + (tx0[:, None] + dx)  # [T, kmax]
     pair_valid = binned[:, None] & (k[None, :] < nspan[:, None])
-    keys = jnp.where(pair_valid, tile, ntiles).reshape(-1)  # [T*kmax]
+
+    # 1b. Exact tile-corner prune: a thin diagonal triangle's bbox overlaps
+    #     tiles the triangle itself never touches. An affine edge attains
+    #     its max over a tile's pixel-center rectangle at a corner, and the
+    #     e_j are exact in f32 (ops/setup.py numerics), so `max_rect e_j < 0
+    #     for some j` proves zero coverage — prune the pair. Pruned pairs
+    #     become per-tile *fillers* (key = tile, id = sentinel) so the
+    #     layout still matches the rectangle counts matmul below; they cost
+    #     one inert slot instead of a full kernel record walk (live chunks
+    #     are detected from the sorted ids, so all-pruned tails are
+    #     skipped entirely).
+    px0 = ((tx0[:, None] + dx) * tile_w).astype(jnp.float32) + 0.5
+    py0 = ((ty0[:, None] + dy) * tile_h + y0g).astype(jnp.float32) + 0.5
+    px1 = px0 + (tile_w - 1)
+    py1 = py0 + (tile_h - 1)
+    overlap = pair_valid
+    for j in range(3):
+        a = setup.coef[:, 0, j][:, None]
+        b = setup.coef[:, 1, j][:, None]
+        c = setup.coef[:, 2, j][:, None]
+        emax = (a * jnp.where(a >= 0.0, px1, px0)
+                + b * jnp.where(b >= 0.0, py1, py0) + c)
+        overlap = overlap & (emax >= 0.0)
+    pruned = pair_valid & ~overlap
+    pair_valid = overlap
+
+    keys = jnp.where(pair_valid | pruned, tile, ntiles)  # [T, kmax]
 
     # 2. Per-tile pair counts WITHOUT sorting: a binned triangle covers a
     #    rectangle of tiles, so counts[ty, tx] = sum_t rowmask[t, ty] *
@@ -161,8 +187,10 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
         f"{ntiles} tiles needs {id_bits + tile_bits} bits")
 
     tri_ids = jnp.arange(t, dtype=jnp.int32)
-    packed = ((keys.reshape(t, kmax) << id_bits)
-              | tri_ids[:, None]).reshape(-1)
+    # Pruned pairs carry the filler sentinel id: they sort to the tail of
+    # their tile's segment (stable, after all real ids) and decode to -1.
+    idpart = jnp.where(pruned, t, tri_ids[:, None])
+    packed = ((keys << id_bits) | idpart).reshape(-1)
     pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
@@ -196,11 +224,12 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                   ).astype(jnp.int32)
     ct_c = jnp.clip(chunk_tile, 0, ntiles - 1)
     first_flag = (cc == chunk_starts[ct_c]).astype(jnp.int32)
-    # Live = this chunk overlaps its tile's real (unpadded) entries; dead
-    # chunks (per-tile padding tails + the global tail) skip their whole
-    # triangle loop (~40% of slots for typical scenes).
-    live_flag = (cc * chunk < pad_starts[ct_c] + counts[ct_c]
-                 ).astype(jnp.int32)
+    # Live = this chunk holds at least one real entry. Real ids sort ahead
+    # of fillers/pruned within each tile's segment and chunks never span
+    # tiles, so "first slot is real" is exact; dead chunks (padding tails,
+    # all-pruned tails, the global tail) skip their whole triangle loop
+    # (~40% of slots for typical scenes).
+    live_flag = (ids[cc * chunk] >= 0).astype(jnp.int32)
     # Last chunk of each tile's run (the global tail belongs to the last
     # tile, so its last_flag is the final chunk): exactly one per tile —
     # the fused kernel runs its shading epilogue there.
