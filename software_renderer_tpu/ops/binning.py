@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_pallas import (
     CHUNK, TILE_H, TILE_W, _poison_row, default_interpret,
-    pack_records, visibility_pallas_merge,
+    effective_chunk, pack_records, visibility_pallas_merge,
 )
 from .setup import TriangleSetup
 
@@ -85,8 +85,24 @@ class BinInfo:
 def build_bins(setup: TriangleSetup, *, width: int, height: int,
                y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
                chunk: int = CHUNK, kmax: int = KMAX,
-               overflow_cap: int = OVERFLOW_CAP) -> BinInfo:
-    """Build per-tile triangle lists from triangle bboxes."""
+               overflow_cap: int = OVERFLOW_CAP,
+               pair_budget_factor: float = PAIR_BUDGET_FACTOR,
+               prune: bool = False) -> BinInfo:
+    """Build per-tile triangle lists from triangle bboxes.
+
+    pair_budget_factor: static stream capacity, in units of T. The cap is
+    a *perf* knob, not a correctness one (overrun spills to the overflow
+    waves, which render exactly). Backface-culled scenes average ~0.5-0.6
+    real pairs per input triangle, so callers with culling on pass a
+    smaller factor — the kernel grid, the stream gather, and the dead-slot
+    walk all scale with this capacity (render.py passes 0.75).
+
+    prune: exact tile-corner pair pruning. Semantically a no-op (pruned
+    pairs provably cover zero pixels); OFF by default because the strided
+    [T, 3, 3] coefficient slices broadcast over the [T, kmax] emission
+    measured +5 ms at 1080p/100k on v5e — re-enable once TriangleSetup
+    carries planar edge columns (docs/PERF.md backlog).
+    """
     t = setup.num_triangles
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
@@ -107,7 +123,7 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     small = valid & (nspan <= kmax)
     # Pair budget: triangles whose cumulative pair demand exceeds the
     # budget spill to the overflow list.
-    budget_pairs = -(int(-PAIR_BUDGET_FACTOR * max(t, 1)) // chunk) * chunk
+    budget_pairs = -(int(-pair_budget_factor * max(t, 1)) // chunk) * chunk
     cum_pairs = jnp.cumsum(jnp.where(small, nspan, 0))
     binned = small & (cum_pairs <= budget_pairs)
     overflow = valid & ~binned
@@ -130,20 +146,23 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     #     one inert slot instead of a full kernel record walk (live chunks
     #     are detected from the sorted ids, so all-pruned tails are
     #     skipped entirely).
-    px0 = ((tx0[:, None] + dx) * tile_w).astype(jnp.float32) + 0.5
-    py0 = ((ty0[:, None] + dy) * tile_h + y0g).astype(jnp.float32) + 0.5
-    px1 = px0 + (tile_w - 1)
-    py1 = py0 + (tile_h - 1)
-    overlap = pair_valid
-    for j in range(3):
-        a = setup.coef[:, 0, j][:, None]
-        b = setup.coef[:, 1, j][:, None]
-        c = setup.coef[:, 2, j][:, None]
-        emax = (a * jnp.where(a >= 0.0, px1, px0)
-                + b * jnp.where(b >= 0.0, py1, py0) + c)
-        overlap = overlap & (emax >= 0.0)
-    pruned = pair_valid & ~overlap
-    pair_valid = overlap
+    if prune:
+        px0 = ((tx0[:, None] + dx) * tile_w).astype(jnp.float32) + 0.5
+        py0 = ((ty0[:, None] + dy) * tile_h + y0g).astype(jnp.float32) + 0.5
+        px1 = px0 + (tile_w - 1)
+        py1 = py0 + (tile_h - 1)
+        overlap = pair_valid
+        for j in range(3):
+            a = setup.coef[:, 0, j][:, None]
+            b = setup.coef[:, 1, j][:, None]
+            c = setup.coef[:, 2, j][:, None]
+            emax = (a * jnp.where(a >= 0.0, px1, px0)
+                    + b * jnp.where(b >= 0.0, py1, py0) + c)
+            overlap = overlap & (emax >= 0.0)
+        pruned = pair_valid & ~overlap
+        pair_valid = overlap
+    else:
+        pruned = jnp.zeros_like(pair_valid)
 
     keys = jnp.where(pair_valid | pruned, tile, ntiles)  # [T, kmax]
 
@@ -539,7 +558,7 @@ def _ov_len(t: int, chunk: int, overflow_cap: int) -> int:
 
 
 def _overflow_visibility(setup, info, depth0, id0, *, width, height,
-                         y_start, tile_h, tile_w, chunk, overflow_cap,
+                         y_start, tile_h, tile_w, chunk, ov_len,
                          interpret):
     """Merge ALL overflow triangles into (depth0, id0) in waves of ov_len.
 
@@ -547,8 +566,12 @@ def _overflow_visibility(setup, info, depth0, id0, *, width, height,
     (depth, id), which is associative, so wave order cannot change the
     result and it composes exactly with the binned pass's first-wins-ties
     semantics. Call INSIDE an overflow-only branch (contains a sort).
+
+    ov_len is the static wave width: callers pick a small wave (one chunk,
+    a ~couple-hundred-step merge grid) when few triangles spilled and the
+    big overflow_cap wave otherwise, so a frame with a handful of huge
+    triangles doesn't pay a full-capacity merge.
     """
-    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
     ov_ids = overflow_id_waves(info, ov_len)
     rec_table = pack_records(setup, chunk)
 
@@ -570,13 +593,12 @@ def _overflow_visibility(setup, info, depth0, id0, *, width, height,
 
 
 def _overflow_gbuffer(setup, info, table, poison, tid_p, gb0, *, width,
-                      height, y_start, tile_h, tile_w, chunk, overflow_cap,
+                      height, y_start, tile_h, tile_w, chunk, ov_len,
                       interpret):
     """Resolve overflow triangles' attribute planes into gb0 [A, H, W]
     against the winner map tid_p (padded [H+ph, W+pw]). Wave-looped like
     :func:`_overflow_visibility`; call inside an overflow-only branch."""
     a = gb0.shape[0]
-    ov_len = _ov_len(setup.num_triangles, chunk, overflow_cap)
     pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
     yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
     ov_ids_all = overflow_id_waves(info, ov_len)
@@ -640,6 +662,8 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
                     height: int, y_start=0, tile_h: int = TILE_H,
                     tile_w: int = TILE_W, chunk: int = CHUNK,
                     kmax: int = KMAX, overflow_cap: int = OVERFLOW_CAP,
+                    pair_budget_factor: float = PAIR_BUDGET_FACTOR,
+                    prune: bool = False,
                     interpret: bool | None = None):
     """Full binned raster path.
 
@@ -648,6 +672,7 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     """
     if interpret is None:
         interpret = default_interpret()
+    chunk = effective_chunk(chunk, interpret)
     if not packed_keys_fit(setup.num_triangles, width=width, height=height,
                            tile_h=tile_h, tile_w=tile_w, chunk=chunk,
                            kmax=kmax):
@@ -665,7 +690,8 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
                                                     covered)
     info = build_bins(setup, width=width, height=height, y_start=y_start,
                       tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
-                      overflow_cap=overflow_cap)
+                      overflow_cap=overflow_cap,
+                      pair_budget_factor=pair_budget_factor, prune=prune)
     table, a, poison = build_stream_table(setup, attrs)
     stream = gather_stream(table, info.ids, poison)
     wtot = table.shape[-1]
@@ -713,13 +739,25 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     # Processed in waves inside an overflow-only branch, so ANY overflow
     # volume renders correctly (nothing is dropped past a cap) and
     # spill-free frames pay nothing — not even the id compaction sort.
-    depth_s, tri_id_s = jax.lax.cond(
-        info.n_overflow > 0,
-        lambda args: _overflow_visibility(
+    # A small spill (<= one chunk) takes a one-chunk wave: a few spilled
+    # triangles cost a ~ntiles-step merge, not a full-capacity one.
+    big_ov = _ov_len(setup.num_triangles, chunk, overflow_cap)
+
+    def ov_vis(args, ov_len):
+        return _overflow_visibility(
             setup, info, *args, width=width, height=height,
             y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            overflow_cap=overflow_cap, interpret=interpret),
-        lambda args: args,
+            ov_len=ov_len, interpret=interpret)
+
+    if big_ov > chunk:
+        merge_vis = lambda args: jax.lax.cond(
+            info.n_overflow <= chunk,
+            lambda a: ov_vis(a, chunk),
+            lambda a: ov_vis(a, big_ov), args)
+    else:
+        merge_vis = lambda args: ov_vis(args, big_ov)
+    depth_s, tri_id_s = jax.lax.cond(
+        info.n_overflow > 0, merge_vis, lambda args: args,
         (depth_s, tri_id_s))
 
     if a == 0:
@@ -761,13 +799,19 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     gb = gb[:, :height, :width]
 
     # --- overflow resolve (rare; same wave scheme as the visibility merge) --
-    gb = jax.lax.cond(
-        info.n_overflow > 0,
-        lambda g: _overflow_gbuffer(
+    def ov_gb(g, ov_len):
+        return _overflow_gbuffer(
             setup, info, table, poison, tid_p, g, width=width,
             height=height, y_start=y_start, tile_h=tile_h, tile_w=tile_w,
-            chunk=chunk, overflow_cap=overflow_cap, interpret=interpret),
-        lambda g: g, gb)
+            chunk=chunk, ov_len=ov_len, interpret=interpret)
+
+    if big_ov > chunk:
+        merge_gb = lambda g: jax.lax.cond(
+            info.n_overflow <= chunk,
+            lambda a: ov_gb(a, chunk), lambda a: ov_gb(a, big_ov), g)
+    else:
+        merge_gb = lambda g: ov_gb(g, big_ov)
+    gb = jax.lax.cond(info.n_overflow > 0, merge_gb, lambda g: g, gb)
     return depth_s, tri_id_s, jnp.moveaxis(gb, 0, -1)
 
 
@@ -776,6 +820,8 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                    tile_h: int = TILE_H, tile_w: int = TILE_W,
                    chunk: int = CHUNK, kmax: int = KMAX,
                    overflow_cap: int = OVERFLOW_CAP,
+                   pair_budget_factor: float = PAIR_BUDGET_FACTOR,
+                   prune: bool = False,
                    interpret: bool | None = None):
     """Binned raster with fused shading: ONE kernel pass computes
     visibility, attribute planes, and the shading epilogue per tile.
@@ -798,6 +844,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     """
     if interpret is None:
         interpret = default_interpret()
+    chunk = effective_chunk(chunk, interpret)
     a = attrs.shape[-1]
     t = setup.num_triangles
     prm = jnp.asarray(params, jnp.float32).reshape(1, -1)
@@ -822,7 +869,8 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
 
     info = build_bins(setup, width=width, height=height, y_start=y_start,
                       tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
-                      overflow_cap=overflow_cap)
+                      overflow_cap=overflow_cap,
+                      pair_budget_factor=pair_budget_factor, prune=prune)
     table, _, poison = build_stream_table(setup, attrs)
     stream = gather_stream(table, info.ids, poison)
     wtot = table.shape[-1]
@@ -901,7 +949,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     def fast(_):
         return run_fused(None)
 
-    def slow(_):
+    def slow_with(ov_len):
         # Overflow present (triangles spanning > kmax tiles or past the
         # pair budget): pre-merge ALL of them into full-frame (z, id,
         # G-buffer) seeds with the wave kernels, then run the SAME fused
@@ -909,40 +957,56 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         # reference's first-wins order). The binned majority still renders
         # at fused-kernel speed — no cliff, nothing dropped at any spill
         # size.
-        z0 = jnp.full((height, width), jnp.inf, jnp.float32)
-        i0 = jnp.full((height, width), -1, jnp.int32)
-        z_ov, id_ov = _overflow_visibility(
-            setup, info, z0, i0, width=width, height=height,
-            y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            overflow_cap=overflow_cap, interpret=interpret)
-        tid_p = jnp.pad(id_ov, ((0, pad_h), (0, pad_w)),
-                        constant_values=-1) if (pad_h or pad_w) else id_ov
-        gb_ov = _overflow_gbuffer(
-            setup, info, table, poison, tid_p,
-            jnp.zeros((a, height, width), jnp.float32), width=width,
-            height=height, y_start=y_start, tile_h=tile_h, tile_w=tile_w,
-            chunk=chunk, overflow_cap=overflow_cap, interpret=interpret)
-        z_p = jnp.pad(z_ov, ((0, pad_h), (0, pad_w)),
-                      constant_values=jnp.inf)
-        gb_p = jnp.pad(gb_ov, ((0, 0), (0, pad_h), (0, pad_w)))
-        return run_fused((z_p, tid_p, gb_p))
+        def slow(_):
+            z0 = jnp.full((height, width), jnp.inf, jnp.float32)
+            i0 = jnp.full((height, width), -1, jnp.int32)
+            z_ov, id_ov = _overflow_visibility(
+                setup, info, z0, i0, width=width, height=height,
+                y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+                ov_len=ov_len, interpret=interpret)
+            tid_p = jnp.pad(id_ov, ((0, pad_h), (0, pad_w)),
+                            constant_values=-1) if (pad_h or pad_w) else id_ov
+            gb_ov = _overflow_gbuffer(
+                setup, info, table, poison, tid_p,
+                jnp.zeros((a, height, width), jnp.float32), width=width,
+                height=height, y_start=y_start, tile_h=tile_h,
+                tile_w=tile_w, chunk=chunk, ov_len=ov_len,
+                interpret=interpret)
+            z_p = jnp.pad(z_ov, ((0, pad_h), (0, pad_w)),
+                          constant_values=jnp.inf)
+            gb_p = jnp.pad(gb_ov, ((0, 0), (0, pad_h), (0, pad_w)))
+            return run_fused((z_p, tid_p, gb_p))
+        return slow
 
+    big_ov = _ov_len(t, chunk, overflow_cap)
+    if big_ov > chunk:
+        # Small spills (<= one chunk — a few huge triangles) take a
+        # one-chunk wave; only mass spills pay the full-capacity waves.
+        slow = lambda _: jax.lax.cond(
+            info.n_overflow <= chunk, slow_with(chunk),
+            slow_with(big_ov), None)
+    else:
+        slow = slow_with(big_ov)
     return jax.lax.cond(info.n_overflow == 0, fast, slow, None)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
                                     "chunk", "kmax", "overflow_cap",
+                                    "pair_budget_factor", "prune",
                                     "interpret"))
 def visibility_binned(setup: TriangleSetup, *, width: int, height: int,
                       y_start=0, tile_h: int = TILE_H, tile_w: int = TILE_W,
                       chunk: int = CHUNK, kmax: int = KMAX,
                       overflow_cap: int = OVERFLOW_CAP,
+                      pair_budget_factor: float = PAIR_BUDGET_FACTOR,
+                      prune: bool = False,
                       interpret: bool | None = None):
     """Binned visibility pass. Same contract as visibility_ref /
     visibility_pallas (golden-tested equal); scales to 100k+ triangles."""
     depth, tri_id, _ = binned_pipeline(
         setup, None, width=width, height=height, y_start=y_start,
         tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
-        overflow_cap=overflow_cap, interpret=interpret)
+        overflow_cap=overflow_cap, pair_budget_factor=pair_budget_factor,
+        prune=prune, interpret=interpret)
     return depth, tri_id

@@ -179,6 +179,11 @@ def render_triangles(rp: RenderPass, backend: str,
         from functools import partial as _partial
 
         from .ops.binning import binned_pipeline, fused_pipeline
+
+        # Culled scenes emit ~half the pairs; a smaller static stream
+        # capacity shrinks the kernel grid and the dead-slot walk (spills
+        # past the budget still render via the overflow waves).
+        budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (
             finish_fused, fused_epilogue, fused_output_channels,
             shade_gbuffer, shading_params)
@@ -199,7 +204,8 @@ def render_triangles(rp: RenderPass, backend: str,
             # Perspective-correct interpolation needs per-pixel 1/w terms;
             # use the XLA resolve path on the binned visibility buffer.
             depth, tri_id, _ = binned_pipeline(
-                setup, None, width=rp.width, height=out_h, y_start=y0)
+                setup, None, width=rp.width, height=out_h, y_start=y0,
+                pair_budget_factor=budget)
             depth = jax.lax.stop_gradient(depth)
             tri_id = jax.lax.stop_gradient(tri_id)
             color = shade(
@@ -212,7 +218,8 @@ def render_triangles(rp: RenderPass, backend: str,
             return Framebuffer(color=color, depth=depth)
         if attrs is None:
             depth, tri_id, _ = binned_pipeline(
-                setup, None, width=rp.width, height=out_h, y_start=y0)
+                setup, None, width=rp.width, height=out_h, y_start=y0,
+                pair_budget_factor=budget)
             depth = jax.lax.stop_gradient(depth)
             tri_id = jax.lax.stop_gradient(tri_id)
             color = shade_gbuffer(None, tri_id != -1, shading=rp.shading,
@@ -229,7 +236,8 @@ def render_triangles(rp: RenderPass, backend: str,
                             has_light=has_light, has_texture=has_texture)
         depth, tri_id, out = fused_pipeline(
             setup, attrs, params, width=rp.width, height=out_h,
-            epilogue=epilogue, n_out=n_out, y_start=y0)
+            epilogue=epilogue, n_out=n_out, y_start=y0,
+            pair_budget_factor=budget)
         # The fused kernel has no AD rule; appearance gradients (texture)
         # flow through finish_fused's gather below, geometry/vertex-attr
         # gradients need the 'reference'/'pallas' backends.

@@ -159,6 +159,56 @@ def test_fused_overflow_seeded_matches_unseeded():
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
 
 
+def test_corner_prune_exact():
+    # prune=True (gated; see build_bins docstring) must not change any
+    # pixel: thin diagonal slivers spanning many tiles are its target.
+    rng = np.random.default_rng(7)
+    base = rng.uniform(-0.95, 0.95, size=(40, 1, 2))
+    tips = base + rng.uniform(-0.9, 0.9, size=(40, 2, 2)) * [[0.9], [0.02]]
+    pts = np.concatenate([base, tips], axis=1).reshape(-1, 2)
+    pts = np.concatenate(
+        [pts, rng.uniform(0.1, 0.9, size=(len(pts), 1))], -1
+    ).astype(np.float32)
+    tris = np.arange(120).reshape(40, 3)
+    s = setup_for(pts, tris, 512, 256)
+    d_ref, id_ref = visibility_ref(s, width=512, height=256)
+    d_bin, id_bin = visibility_binned(s, width=512, height=256, prune=True)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
+    # and pruning actually removed pairs on this scene
+    from software_renderer_tpu.ops.binning import build_bins
+    n_p = int((np.asarray(build_bins(s, width=512, height=256,
+                                     prune=True).ids) >= 0).sum())
+    n_u = int((np.asarray(build_bins(s, width=512, height=256).ids) >= 0
+               ).sum())
+    assert n_p < n_u, (n_p, n_u)
+
+
+def test_overflow_big_wave_multiwave():
+    # > chunk (64) spilled triangles: exercises the BIG overflow wave
+    # branch (and multi-wave looping when the spill exceeds one wave).
+    from software_renderer_tpu.ops.binning import build_bins
+    rng = np.random.default_rng(3)
+    n_tri = 100
+    # Huge triangles spanning most of the frame: every one spans > kmax
+    # tiles, so all 100 spill (> one 64-chunk wave).
+    a = rng.uniform(-1.0, -0.5, size=(n_tri, 1, 2))
+    b = rng.uniform(0.5, 1.0, size=(n_tri, 1, 2))
+    c = np.concatenate([rng.uniform(-1, 1, size=(n_tri, 1, 1)),
+                        rng.uniform(-1.0, -0.5, size=(n_tri, 1, 1))], -1)
+    pts = np.concatenate([a, b, c], axis=1).reshape(-1, 2)
+    pts = np.concatenate(
+        [pts, rng.uniform(0.1, 0.9, size=(len(pts), 1))], -1
+    ).astype(np.float32)
+    tris = np.arange(3 * n_tri).reshape(n_tri, 3)
+    s = setup_for(pts, tris, 512, 256)
+    info = build_bins(s, width=512, height=256)
+    assert int(info.n_overflow) > 64, int(info.n_overflow)
+    d_ref, id_ref = visibility_ref(s, width=512, height=256)
+    d_bin, id_bin = visibility_binned(s, width=512, height=256)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_bin))
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_bin))
+
+
 def test_bin_stream_invariants():
     rng = np.random.default_rng(9)
     n = 30

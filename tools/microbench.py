@@ -90,6 +90,36 @@ def main():
     timed("take_along_axis 2M in 256-tab", lambda i: jnp.sum(
         jnp.take_along_axis(tab256, (idx_tla + i) % 256, axis=0)))
 
+    # Vertex-stage layouts: packed [T, 3, 3] corners vs planar [3, 3, T].
+    t100 = 100_000
+    corners = jnp.asarray(rng.random((t100, 3, 3)), jnp.float32)
+    corners_cf = jnp.asarray(np.moveaxis(np.asarray(corners), 0, -1))
+
+    def vtx_packed(i):
+        mat = jnp.eye(4, dtype=jnp.float32) * (1.0 + i * 1e-6)
+        flat = corners.reshape(-1, 3)
+        clip = (flat @ mat[:3, :3].T + mat[:3, 3]
+                )  # [3T, 3]
+        w = flat @ mat[3, :3] + mat[3, 3]
+        ndc = clip / jnp.where(w == 0, 1.0, w)[:, None]
+        pix = jnp.sign(ndc) * jnp.floor(jnp.abs(ndc) + 0.5)
+        return jnp.sum(pix)
+
+    def vtx_planar(i):
+        mat = jnp.eye(4, dtype=jnp.float32) * (1.0 + i * 1e-6)
+        x, y, z = corners_cf[0], corners_cf[1], corners_cf[2]  # [3, T]
+        w = mat[3, 0] * x + mat[3, 1] * y + mat[3, 2] * z + mat[3, 3]
+        winv = 1.0 / jnp.where(w == 0, 1.0, w)
+        out = 0.0
+        for r in range(3):
+            cr = mat[r, 0] * x + mat[r, 1] * y + mat[r, 2] * z + mat[r, 3]
+            ndc = cr * winv
+            out = out + jnp.sum(jnp.sign(ndc) * jnp.floor(jnp.abs(ndc) + 0.5))
+        return out
+
+    timed("vertex 300k packed [T,3,3]", vtx_packed)
+    timed("vertex 300k planar [3,3,T]", vtx_planar)
+
 
 if __name__ == "__main__":
     main()

@@ -46,6 +46,7 @@ TILE_H = int(os.environ.get("PROF_TILE_H", "0")) or None
 TILE_W = int(os.environ.get("PROF_TILE_W", "0")) or None
 CHUNK = int(os.environ.get("PROF_CHUNK", "0")) or None
 KMAX = int(os.environ.get("PROF_KMAX", "0")) or None
+BUDGET = float(os.environ.get("PROF_BUDGET", "0")) or None
 TEXTURED = os.environ.get("PROF_TEXTURED", "1") != "0"
 
 rp = scenes.config4_many_objects(0.0, width=W, height=H, triangles=TRIS,
@@ -64,6 +65,8 @@ if CHUNK:
     kw["chunk"] = CHUNK
 if KMAX:
     kw["kmax"] = KMAX
+if BUDGET:
+    kw["pair_budget_factor"] = BUDGET
 
 
 def transform_of(i):
