@@ -48,7 +48,14 @@ from .rasterize_pallas import (
 )
 from .setup import TriangleSetup
 
-KMAX = 12            # max tiles per triangle in the binned stream
+# Max tiles per triangle in the binned stream. The T*KMAX emission is the
+# bin-build sort's input, so KMAX is ~proportional to its cost — but any
+# frame with a single spilled triangle pays the overflow branch (an id
+# sort + merge waves + a seeded kernel pass, ~+3 ms), and the bench
+# averages frames per timing sample, so spill FREQUENCY matters more than
+# spill size: kmax 8 (spills at many angles) measured 4 ms/frame WORSE
+# than kmax 12 (spill-free across the animation) despite its smaller sort.
+KMAX = 12
 OVERFLOW_CAP = 1024  # overflow triangles per merge wave
 # Binned-stream pair budget, in units of T (triangle count). Small
 # triangles average ~1.3 bbox-tile overlaps; triangles past the budget

@@ -18,13 +18,22 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Texture:
-    """An RGB(A) texture. data: [Th, Tw, C] float32 in [0, 1]."""
+    """An RGB(A) texture. data: [Th, Tw, C] float32 in [0, 1].
+
+    table_dtype: storage dtype of the bilinear quad table. float32 is the
+    measured optimum on v5e: the 2M-row frame gather is row-issue-bound
+    with 2D indices (~7 ms at 1080p), and a float16 table LOSES ~2.8 ms —
+    the narrow-minor [H, W, 12] f16->f32 conversion after the gather is a
+    padded relayout that costs more than the halved row bytes save.
+    """
 
     data: jax.Array
     filter: str = dataclasses.field(default="bilinear",
                                     metadata=dict(static=True))
     wrap: str = dataclasses.field(default="repeat",
                                   metadata=dict(static=True))
+    table_dtype: str = dataclasses.field(default="float32",
+                                         metadata=dict(static=True))
 
 
 def _wrap_coords(i, n, mode):
@@ -55,7 +64,7 @@ def _quad_table(tex: Texture):
         dxy = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
     th, tw, c = d.shape
     quad = jnp.concatenate([d, dx, dy, dxy], axis=-1)  # [Th, Tw, 4C]
-    return quad.reshape(th * tw, 4 * c)
+    return quad.reshape(th * tw, 4 * c).astype(tex.table_dtype)
 
 
 def sample_texture_planes(tex: Texture, u, v):
@@ -88,7 +97,7 @@ def sample_texture_planes(tex: Texture, u, v):
     fy = y - y0
     xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
     ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-    quad = _quad_table(tex)[ya * tw + xa]  # [..., 4C] (the one gather)
+    quad = _quad_table(tex)[ya * tw + xa].astype(jnp.float32)  # one gather
     out = []
     for i in range(c):
         t00 = quad[..., i]
@@ -126,7 +135,7 @@ def sample_texture(tex: Texture, uv):
     fy = (y - y0)[..., None]
     xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
     ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-    quad = _quad_table(tex)[ya * tw + xa]  # [..., 4C]
+    quad = _quad_table(tex)[ya * tw + xa].astype(jnp.float32)  # [..., 4C]
     t00 = quad[..., 0:c]
     t01 = quad[..., c:2 * c]
     t10 = quad[..., 2 * c:3 * c]
