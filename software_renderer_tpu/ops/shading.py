@@ -46,8 +46,14 @@ class Light:
 
 
 def _normalize(v, eps=1e-12):
-    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1,
-                                                 keepdims=True), eps))
+    # 1/sqrt, not lax.rsqrt: sqrt and divide are IEEE-exact on both the
+    # XLA and Mosaic lowerings, so the fused kernel epilogue and the XLA
+    # shading path normalize bit-identically on hardware; rsqrt is an
+    # approximation whose ulps differ between the two compilers and get
+    # amplified ~shininess-fold by the specular pow (caught by
+    # tools/tpu_gate.py on a real chip).
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1,
+                                            keepdims=True), eps))
 
 
 def attribute_channels(shading: str, has_colors: bool, has_light: bool):
@@ -238,7 +244,8 @@ def fused_epilogue(planes, covered, params, *, chans, has_light: bool,
     if lit:
         # Normalize the interpolated normal; Blinn-Phong terms against the
         # packed per-frame constants (see shading_params layout).
-        inv = jax.lax.rsqrt(jnp.maximum(
+        # 1/sqrt for cross-compiler bit-equality (see _normalize).
+        inv = 1.0 / jnp.sqrt(jnp.maximum(
             nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2], 1e-12))
         nx, ny, nz = nrm[0] * inv, nrm[1] * inv, nrm[2] * inv
         ndotl = jnp.maximum(
