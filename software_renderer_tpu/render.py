@@ -87,9 +87,15 @@ class RenderPass:
     model: Optional[jax.Array] = None
 
 
-# Unbinned kernel: every tile scans all triangle chunks (bbox-rejected).
-# Binned kernel: per-tile lists, O(overlap pairs). Crossover ~1-2k tris.
-AUTO_BIN_THRESHOLD = 1024
+# 'auto' routes to the binned backend at any size: its fused Pallas
+# resolve+shade beats the unbinned kernel + XLA gather resolve even for a
+# 12-triangle cube (1.6 ms vs 9.7 ms at 512^2 on v5e — the per-pixel
+# coefficient/attribute gathers dominate, not the raster loop; huge
+# triangles ride the overflow waves). Pick backend='pallas'/'reference'
+# explicitly for vertex-attribute/light gradients (the fused kernel is
+# appearance-differentiable through the texture gather only) or as the
+# golden cross-check.
+AUTO_BIN_THRESHOLD = 0
 
 
 def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str,
