@@ -129,10 +129,19 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     valid = setup.valid & in_slice
     small = valid & (nspan <= kmax)
     # Pair budget: triangles whose cumulative pair demand exceeds the
-    # budget spill to the overflow list.
+    # budget spill to the overflow list. The prefix is evaluated at
+    # 256-triangle block granularity: identical to the exact per-triangle
+    # prefix whenever the scene fits the budget (the common case — every
+    # block prefix passes), and merely spills up to one extra block's
+    # triangles on frames that overflow anyway (a full [T] cumsum costs
+    # ~1.7 ms on v5e at T=100k; the [T/256] one is noise).
     budget_pairs = -(int(-pair_budget_factor * max(t, 1)) // chunk) * chunk
-    cum_pairs = jnp.cumsum(jnp.where(small, nspan, 0))
-    binned = small & (cum_pairs <= budget_pairs)
+    nsp = jnp.where(small, nspan, 0)
+    blk = 256
+    t_pad = -(-t // blk) * blk
+    nsp_p = jnp.zeros((t_pad,), nsp.dtype).at[:t].set(nsp)
+    block_cum_end = jnp.cumsum(jnp.sum(nsp_p.reshape(-1, blk), axis=-1))
+    binned = small & (jnp.repeat(block_cum_end, blk)[:t] <= budget_pairs)
     overflow = valid & ~binned
 
     # 1. Expansion: pair k of triangle covers tile (ty0 + k // span_w,
