@@ -474,7 +474,7 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
 
 def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
                   prm_ref, *refs, tile_h, tile_w, chunk, gw, n_channels,
-                  n_out, epilogue, seeded=False):
+                  n_out, epilogue, seeded=False, sub=1):
     """Fused visibility + G-buffer resolve + shading epilogue.
 
     One pass over the binned stream: each triangle's depth test and
@@ -490,6 +490,11 @@ def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
     and the depth test breaks ties by the lex (depth, id) rule so a binned
     triangle beats a seeded one only when drawn earlier (exactly the
     reference's first-wins order; equal to plain `<` when unseeded).
+
+    sub: live-gating granularity — lv_ref holds `sub` flags per grid step
+    and the record walk runs as `sub` independently-gated segments. A
+    fatter chunk amortizes the ~5 us Mosaic per-step overhead while the
+    sub-gates keep dead-slot skipping at the finer granularity.
     """
     if seeded:
         zs_ref, ids_ref, gbs_ref, z_ref, id_ref, out_ref, acc_ref = refs
@@ -538,17 +543,19 @@ def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
         return (jnp.where(better, cand, zbuf),
                 jnp.where(better, tri, idbuf), acc)
 
-    @pl.when(lv_ref[cc] == 1)
-    def _work():
-        zbuf, idbuf, acc = jax.lax.fori_loop(
-            0, chunk, body,
-            (z_ref[:], id_ref[:],
-             tuple(acc_ref[a] for a in range(n_channels))),
-            unroll=chunk)
-        z_ref[:] = zbuf
-        id_ref[:] = idbuf
-        for a in range(n_channels):
-            acc_ref[a] = acc[a]
+    sublen = chunk // sub
+    for s in range(sub):
+        @pl.when(lv_ref[cc * sub + s] == 1)
+        def _work(s=s):
+            zbuf, idbuf, acc = jax.lax.fori_loop(
+                s * sublen, (s + 1) * sublen, body,
+                (z_ref[:], id_ref[:],
+                 tuple(acc_ref[a] for a in range(n_channels))),
+                unroll=sublen)
+            z_ref[:] = zbuf
+            id_ref[:] = idbuf
+            for a in range(n_channels):
+                acc_ref[a] = acc[a]
 
     @pl.when(lf_ref[cc] == 1)
     def _epilogue():
@@ -831,13 +838,22 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     return depth_s, tri_id_s, jnp.moveaxis(gb, 0, -1)
 
 
+# Fused-kernel chunking. Swept on v5e at 1080p/100k (budget 0.75):
+# chunk 128/sub 1 = 14.1 ms kernel stage; 256/sub 2 = 14.9 (fatter steps
+# cut the grid 841 -> 547 but the larger per-step SMEM DMA and the
+# ntiles*chunk fill growth eat the win); 192 and 256 without sub-gating
+# were worse still. The sub mechanism stays for future sweeps.
+FUSED_CHUNK = CHUNK
+FUSED_SUB = 1
+
+
 def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                    height: int, epilogue, n_out: int, y_start=0,
                    tile_h: int = TILE_H, tile_w: int = TILE_W,
-                   chunk: int = CHUNK, kmax: int = KMAX,
+                   chunk: int | None = None, kmax: int = KMAX,
                    overflow_cap: int = OVERFLOW_CAP,
                    pair_budget_factor: float = PAIR_BUDGET_FACTOR,
-                   prune: bool = False,
+                   prune: bool = False, sub: int | None = None,
                    interpret: bool | None = None):
     """Binned raster with fused shading: ONE kernel pass computes
     visibility, attribute planes, and the shading epilogue per tile.
@@ -860,7 +876,13 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     """
     if interpret is None:
         interpret = default_interpret()
+    if chunk is None:
+        chunk = FUSED_CHUNK
+    if sub is None:
+        sub = FUSED_SUB
     chunk = effective_chunk(chunk, interpret)
+    sub = min(sub, max(chunk // 32, 1))  # keep sub-segments >= 32 records
+    assert chunk % sub == 0, (chunk, sub)
     a = attrs.shape[-1]
     t = setup.num_triangles
     prm = jnp.asarray(params, jnp.float32).reshape(1, -1)
@@ -894,6 +916,10 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     n_chunks = stream.shape[0] // chunk
     yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
     tile_idx = lambda cc, ct, ff, lv, lf, yo: (ct[cc] // gw, ct[cc] % gw)
+    # Sub-chunk live flags (build_bins' live_flag is per layout chunk;
+    # the kernel gates each chunk//sub segment independently — same
+    # first-slot-is-real argument, sub-chunks never span tiles).
+    lv_sub = (info.ids[:: chunk // sub] >= 0).astype(jnp.int32)
 
     def run_fused(seeds):
         """One fused-kernel pass; seeds = (z, id, gb) padded arrays or
@@ -902,7 +928,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         kernel = functools.partial(
             _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue,
-            seeded=seeded)
+            seeded=seeded, sub=sub)
         in_specs = [
             pl.BlockSpec((chunk, wtot),
                          lambda cc, ct, ff, lv, lf, yo: (cc, 0),
@@ -957,7 +983,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(info.chunk_tile, info.first_flag, info.live_flag,
+        )(info.chunk_tile, info.first_flag, lv_sub,
           info.last_flag, yoff, *args)
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])

@@ -209,6 +209,41 @@ def test_overflow_big_wave_multiwave():
     np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_bin))
 
 
+def test_fused_sub_chunk_gating_equal():
+    # The sub-gated record walk (FUSED_SUB > 1) must be bit-identical to
+    # the plain walk — same scene, sub 1 vs 2.
+    from functools import partial
+    from software_renderer_tpu.models import scenes
+    from software_renderer_tpu.ops.binning import fused_pipeline
+    from software_renderer_tpu.ops.setup import triangle_setup_from_corners
+    from software_renderer_tpu.ops.shading import (
+        fused_epilogue, fused_output_channels, gather_attribute_values,
+        shading_params)
+    from software_renderer_tpu.ops.vertex import corner_stage
+    w, h = 192, 128
+    rp = scenes.config2_textured_cube(0.4, width=w, height=h)
+    mesh = rp.mesh
+    tris = mesh.triangles()
+    sc, _ = corner_stage(mesh.positions[tris], rp.transform, w, h)
+    s = triangle_setup_from_corners(sc, w, h)
+    attrs, chans = gather_attribute_values(
+        rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+        uvs=mesh.uvs, has_light=True)
+    out_chans = fused_output_channels(rp.shading, chans, True, True)
+    n_out = sum(sz for _, sz in out_chans)
+    params = shading_params(rp.light, flat_color=rp.flat_color)
+    epi = partial(fused_epilogue, chans=chans, has_light=True,
+                  has_texture=True)
+    run = lambda sub: fused_pipeline(s, attrs, params, width=w, height=h,
+                                     epilogue=epi, n_out=n_out, chunk=64,
+                                     sub=sub)
+    d1, i1, o1 = run(1)
+    d2, i2, o2 = run(2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
 def test_bin_stream_invariants():
     rng = np.random.default_rng(9)
     n = 30
