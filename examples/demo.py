@@ -15,6 +15,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # The image's sitecustomize overrides the env var's platform choice;
+    # honor it explicitly so `JAX_PLATFORMS=cpu python examples/demo.py`
+    # really runs on CPU (and never touches the single-client TPU tunnel).
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from software_renderer_tpu.utils.timing import enable_compile_cache
 
 enable_compile_cache()

@@ -167,19 +167,21 @@ PIXEL_FORMATS = {
 def encode_pixels(color: jax.Array, fmt: str) -> jax.Array:
     """[..., 4] float RGBA -> packed pixels in the named format."""
     try:
-        return PIXEL_FORMATS[fmt][2](color)
+        codec = PIXEL_FORMATS[fmt][2]
     except KeyError:
         raise ValueError(f"unknown pixel format {fmt!r}; "
                          f"have {sorted(PIXEL_FORMATS)}") from None
+    return codec(color)
 
 
 def decode_pixels(raw: jax.Array, fmt: str) -> jax.Array:
     """Packed pixels -> [..., 4] float RGBA (missing channels defaulted)."""
     try:
-        return PIXEL_FORMATS[fmt][3](raw)
+        codec = PIXEL_FORMATS[fmt][3]
     except KeyError:
         raise ValueError(f"unknown pixel format {fmt!r}; "
                          f"have {sorted(PIXEL_FORMATS)}") from None
+    return codec(raw)
 
 
 def bytes_per_pixel(fmt: str) -> int:

@@ -278,6 +278,40 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                    n_overflow=jnp.sum(overflow.astype(jnp.int32)))
 
 
+def live_first_permutation(live_flag: jax.Array):
+    """Stable live-first chunk permutation: (perm [n] i32, n_live i32).
+
+    perm's first n_live entries are the indices of the live chunks in
+    their original (tile-major) order — so consecutive permuted steps
+    still revisit the same output tile block (DMA elision holds) — and
+    dead chunks follow. Feeding the fused kernel's stream/output index
+    maps through ``perm`` with a *dynamic* grid bound of ``n_live``
+    removes dead grid steps (empty-tile mandatory chunks, budget tail)
+    from the walk entirely: each dead Mosaic step costs ~5 us at 1080p
+    (~1.3 ms/frame for 255 empty tiles; docs/PERF.md backlog #1).
+
+    Built from two tiny matmuls (MXU, exact in f32 — counts < 2^24)
+    instead of sort/cumsum: a TPU sort has ~1.6 ms fixed cost, a [n]
+    cumsum lowers to a log-depth chain of overhead-bound ops; the [n, n]
+    one-hot matmuls are < 2 M MACs for any realistic chunk count.
+    """
+    n = live_flag.shape[0]
+    lf = live_flag.astype(jnp.float32)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    lower = (idx[:, None] >= idx[None, :]).astype(jnp.float32)
+    cum = jax.lax.dot(lower, lf,
+                      precision=jax.lax.Precision.HIGHEST)  # inclusive
+    n_live = cum[n - 1]
+    # Stable target position of chunk c: live -> cum-1, dead -> n_live +
+    # (dead prefix count) - 1.
+    pos = jnp.where(live_flag == 1, cum - 1.0,
+                    n_live + (idx + 1.0 - cum) - 1.0)
+    onehot = (pos[:, None] == idx[None, :]).astype(jnp.float32)  # [c, j]
+    perm = jax.lax.dot(idx, onehot,
+                       precision=jax.lax.Precision.HIGHEST)  # [j]
+    return perm.astype(jnp.int32), n_live.astype(jnp.int32)
+
+
 def overflow_id_waves(info: BinInfo, ov_len: int) -> jax.Array:
     """[n_waves * ov_len] overflow triangle ids in ascending order (-1 =
     inert). Call INSIDE an overflow-only branch — contains a sort."""
@@ -472,9 +506,8 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
         gb_ref[a] = gb[a]
 
 
-def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
-                  prm_ref, *refs, tile_h, tile_w, chunk, gw, n_channels,
-                  n_out, epilogue, seeded=False, sub=1):
+def _fused_kernel(*all_refs, tile_h, tile_w, chunk, gw, n_channels,
+                  n_out, epilogue, seeded=False, sub=1, permuted=False):
     """Fused visibility + G-buffer resolve + shading epilogue.
 
     One pass over the binned stream: each triangle's depth test and
@@ -495,7 +528,19 @@ def _fused_kernel(ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
     and the record walk runs as `sub` independently-gated segments. A
     fatter chunk amortizes the ~5 us Mosaic per-step overhead while the
     sub-gates keep dead-slot skipping at the finer granularity.
+
+    permuted: the live-first dynamic-grid variant — an extra leading
+    ``perm`` prefetch ref (consumed only by the index maps) plus two
+    trailing HBM-space inputs (the XLA-cleared z/id buffers aliased to
+    the outputs, never read here: unvisited tiles keep their clear
+    values because the alias made the cleared input BE the output).
     """
+    if permuted:
+        (_perm_ref, ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
+         prm_ref, _z0_any, _id0_any, *refs) = all_refs
+    else:
+        (ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
+         prm_ref, *refs) = all_refs
     if seeded:
         zs_ref, ids_ref, gbs_ref, z_ref, id_ref, out_ref, acc_ref = refs
     else:
@@ -882,7 +927,8 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         sub = FUSED_SUB
     chunk = effective_chunk(chunk, interpret)
     sub = min(sub, max(chunk // 32, 1))  # keep sub-segments >= 32 records
-    assert chunk % sub == 0, (chunk, sub)
+    while chunk % sub:  # round non-divisor subs down to a divisor
+        sub -= 1
     a = attrs.shape[-1]
     t = setup.num_triangles
     prm = jnp.asarray(params, jnp.float32).reshape(1, -1)
@@ -920,6 +966,87 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     # the kernel gates each chunk//sub segment independently — same
     # first-slot-is-real argument, sub-chunks never span tiles).
     lv_sub = (info.ids[:: chunk // sub] >= 0).astype(jnp.int32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((height + pad_h, width + pad_w), jnp.float32),
+        jax.ShapeDtypeStruct((height + pad_h, width + pad_w), jnp.int32),
+        jax.ShapeDtypeStruct((n_out, height + pad_h, width + pad_w),
+                             jnp.float32),
+    )
+
+    def run_fused_permuted(_):
+        """Spill-free fast path: walk ONLY the live chunks.
+
+        The stream/output index maps are routed through a stable
+        live-first chunk permutation and the grid bound is the *dynamic*
+        live-chunk count, so dead grid steps (empty-tile mandatory
+        chunks, padding tails, the static budget tail — each ~5 us of
+        pure Mosaic step overhead) never run at all. Output tiles the
+        walk never visits keep their clear values because the XLA-cleared
+        z/id buffers are input_output_aliased INTO the outputs (they are
+        the same buffer); the [n_out, H, W] epilogue output is left
+        unaliased — unvisited regions hold garbage, which is safe because
+        every consumer masks it with ``tri_id != -1`` (finish_fused) and
+        tri_id there is -1 by the alias.
+        """
+        perm, n_live = live_first_permutation(info.live_flag)
+        ct_p = info.chunk_tile[perm]
+        jj = jnp.arange(n_chunks, dtype=jnp.int32)
+        ff_p = ((jj == 0) | (ct_p != jnp.roll(ct_p, 1))).astype(jnp.int32)
+        lf_p = ((jj == n_live - 1)
+                | (ct_p != jnp.roll(ct_p, -1))).astype(jnp.int32)
+        lv_p = lv_sub[perm[:, None] * sub
+                      + jnp.arange(sub, dtype=jnp.int32)[None, :]
+                      ].reshape(-1)
+        kernel = functools.partial(
+            _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+            gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue,
+            seeded=False, sub=sub, permuted=True)
+        tile_idx_p = (lambda j, pm, ct, ff, lv, lf, yo:
+                      (ct[j] // gw, ct[j] % gw))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,  # perm, ct, ff, lv, lf, y_off
+            grid=(n_live,),
+            in_specs=[
+                pl.BlockSpec((chunk, wtot),
+                             lambda j, pm, ct, ff, lv, lf, yo: (pm[j], 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, prm.shape[1]),
+                             lambda j, pm, ct, ff, lv, lf, yo: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # aliased z clear
+                pl.BlockSpec(memory_space=pl.ANY),  # aliased id clear
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_h, tile_w), tile_idx_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_h, tile_w), tile_idx_p,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n_out, tile_h, tile_w),
+                    lambda j, pm, ct, ff, lv, lf, yo:
+                    (0, ct[j] // gw, ct[j] % gw),
+                    memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((a, tile_h, tile_w), jnp.float32)],
+        )
+        z0 = jnp.full((height + pad_h, width + pad_w), jnp.inf,
+                      jnp.float32)
+        id0 = jnp.full((height + pad_h, width + pad_w), -1, jnp.int32)
+        depth, tri_id, out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            # Inputs count scalar-prefetch args: 6 prefetch + stream(6) +
+            # prm(7) + z0(8) + id0(9); outputs (depth, id, out).
+            input_output_aliases={8: 0, 9: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(perm, ct_p, ff_p, lv_p, lf_p, yoff, stream, prm, z0, id0)
+        return (depth[:height, :width], tri_id[:height, :width],
+                out[:, :height, :width])
 
     def run_fused(seeds):
         """One fused-kernel pass; seeds = (z, id, gb) padded arrays or
@@ -972,14 +1099,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         depth, tri_id, out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((height + pad_h, width + pad_w),
-                                     jnp.int32),
-                jax.ShapeDtypeStruct(
-                    (n_out, height + pad_h, width + pad_w), jnp.float32),
-            ),
+            out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
@@ -988,8 +1108,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])
 
-    def fast(_):
-        return run_fused(None)
+    fast = run_fused_permuted
 
     def slow_with(ov_len):
         # Overflow present (triangles spanning > kmax tiles or past the
@@ -1029,7 +1148,14 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
             slow_with(big_ov), None)
     else:
         slow = slow_with(big_ov)
-    return jax.lax.cond(info.n_overflow == 0, fast, slow, None)
+    depth, tri_id, out = jax.lax.cond(info.n_overflow == 0, fast, slow,
+                                      None)
+    # The fast path leaves `out` UNWRITTEN (hardware garbage) on tiles the
+    # live-only walk never visits; tri_id there is -1 by the alias, so one
+    # covered-mask select (fused into the XLA tail by the compiler) makes
+    # the returned G-buffer deterministic everywhere.
+    out = jnp.where(tri_id[None, :, :] != -1, out, 0.0)
+    return depth, tri_id, out
 
 
 @functools.partial(jax.jit,

@@ -27,7 +27,7 @@ def downsample_box(color, factor: int):
 
 
 def render_msaa(rp: RenderPass, samples: int = 2,
-                backend: str = "pallas") -> Framebuffer:
+                backend: str = "auto") -> Framebuffer:
     """Render with samples x samples supersampling.
 
     Depth is min-reduced over the sample block (the closest surface under

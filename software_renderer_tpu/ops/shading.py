@@ -268,6 +268,36 @@ def fused_epilogue(planes, covered, params, *, chans, has_light: bool,
     return [jnp.where(covered, o, zero) for o in outs]
 
 
+def perspective_epilogue(planes, covered, params, *, inner):
+    """Perspective-correct wrapper for a fused epilogue.
+
+    planes: A screen-affine ``attr * (1/w)`` planes plus a trailing
+    ``1/w`` plane (both are affine in screen space because attr/w and 1/w
+    are — the standard projective-interpolation identity). Dividing the
+    interpolated numerators by the interpolated 1/w yields exactly
+    ``sum_i (ws_i / w_i) attr_i / sum_j (ws_j / w_j)`` — the same math as
+    ops/resolve.py perspective_correct_weights, evaluated per-pixel with
+    no gathers, inside the kernel (extension beyond the reference's
+    screen-linear rule, Shaders.metal:157,162).
+    """
+    invw = planes[-1]
+    one = jnp.ones_like(invw)
+    # Covered pixels have interp(1/w) > 0 (near-plane culling/clipping
+    # guarantees w > 0 on all corners); uncovered lanes divide by 1 and
+    # are masked by the inner epilogue's covered select.
+    rec = one / jnp.where(covered, invw, one)
+    return inner([p * rec for p in planes[:-1]], covered, params)
+
+
+def perspective_vertex_attrs(attrs, w_corners):
+    """[T, 3, A] attrs + [T, 3] clip-space w -> [T, 3, A+1] numerator
+    attributes (attr/w) with a trailing 1/w channel, for
+    :func:`perspective_epilogue`."""
+    invw = 1.0 / jnp.where(w_corners == 0.0, 1.0, w_corners)
+    return jnp.concatenate([attrs * invw[:, :, None], invw[:, :, None]],
+                           axis=-1)
+
+
 def finish_fused(out_cf, covered, *, out_chans,
                  light: Optional[Light] = None,
                  texture: Optional[Texture] = None):
@@ -281,7 +311,8 @@ def finish_fused(out_cf, covered, *, out_chans,
     minor-dim ([H, W, 2/3]) tensors tile to 128 lanes on TPU and turn each
     elementwise op into a padded relayout.
     """
-    from .texture import sample_texture_planes
+    from .texture import (COMPACT_SEG, sample_texture_planes,
+                          sample_texture_planes_compacted)
 
     names = {n for n, _ in out_chans}
     planes = [out_cf[c] for c in range(out_cf.shape[0])]
@@ -290,7 +321,17 @@ def finish_fused(out_cf, covered, *, out_chans,
                or _chan_planes(planes, out_chans, "lit"))
     if "uv" in names and texture is not None:
         u, v = _chan_planes(planes, out_chans, "uv")
-        tex = sample_texture_planes(texture, u, v)
+        if (texture.filter == "bilinear" and u.ndim == 2
+                and u.shape[1] % COMPACT_SEG == 0):
+            # Quad-gather only the covered row segments (the gather is
+            # row-issue-bound and most rows are wasted on uncovered
+            # pixels; bit-equal, whole-frame fallback when coverage
+            # exceeds the compaction cap).
+            tex = sample_texture_planes_compacted(texture, u, v, covered)
+        else:
+            tex = sample_texture_planes(texture, u, v)
+        if len(tex) == 1:  # single-channel texture broadcasts (as the
+            tex = tex * 3  # XLA shade() path's [..., :3] slice does)
         rgb = [rgb[c] * tex[c] for c in range(3)]
     if "spec" in names:
         spec = _chan_planes(planes, out_chans, "spec")[0]

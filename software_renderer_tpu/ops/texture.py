@@ -110,6 +110,167 @@ def sample_texture_planes(tex: Texture, u, v):
     return out
 
 
+# Width of the row segments the compacted sampler works on. 128 keeps
+# every compacted intermediate at the full f32 lane width (one native
+# tile per segment) and makes segment extraction a pure reshape.
+COMPACT_SEG = 128
+
+
+def _segment_ranks(scov):
+    """Rank structures for covered-segment compaction.
+
+    scov: [Ns] bool. Returns (lc [g, gsz] f32 — segment id at each
+    (group, local-rank), off [g] f32 — exclusive group offsets,
+    slot [Ns] f32 — compacted slot of each segment (valid where covered),
+    n_cov f32).
+
+    Scatter/sort/cumsum-free: ranks come from two tiny triangular-mask
+    matmuls (exact in f32 — all counts < 2^24), the same pattern as
+    binning.live_first_permutation. A TPU sort has ~1.6 ms fixed cost
+    and a [Ns] cumsum lowers to a log-depth chain of overhead-bound
+    ops; these matmuls are < 3e7 MACs for Ns ~ 16k.
+    """
+    ns = scov.shape[0]
+    gsz = 128
+    g = -(-ns // gsz)
+    hi = jax.lax.Precision.HIGHEST
+    cov = jnp.pad(scov, (0, g * gsz - ns)).reshape(g, gsz)
+    covf = cov.astype(jnp.float32)
+    jj = jnp.arange(gsz, dtype=jnp.float32)
+    incl = (jj[:, None] <= jj[None, :]).astype(jnp.float32)
+    lrank = jax.lax.dot(covf, incl, precision=hi)   # [g, gsz] inclusive
+    counts = lrank[:, -1]                           # [g]
+    gi = jnp.arange(g, dtype=jnp.float32)
+    before = (gi[:, None] < gi[None, :]).astype(jnp.float32)
+    off = jax.lax.dot(counts, before, precision=hi)  # [g] exclusive
+    n_cov = off[-1] + counts[-1]
+    slot = (off[:, None] + lrank - 1.0).reshape(-1)[:ns]
+    # lc: place each covered segment's id at its (group, local rank) with
+    # a one-hot matmul.
+    onehot = (cov[:, None, :]
+              & (lrank[:, None, :] - 1.0 == jj[None, :, None])
+              ).astype(jnp.float32)                  # [g, rank, seg]
+    sid = gi[:, None] * gsz + jj[None, :]            # [g, seg] exact f32
+    lc = jax.lax.dot_general(
+        onehot, sid[:, :, None], (((2,), (1,)), ((0,), (0,))),
+        precision=hi)[..., 0]                        # [g, rank] -> seg id
+    return lc, off, slot, n_cov
+
+
+def _comp_seg_for_cap(lc, off, cap: int, ns: int):
+    """[cap] i32 segment ids occupying compacted slots 0..cap-1: resolve
+    slot k to (group, local) with a monotone compare against the group
+    offsets, then read the segment id out of ``lc``."""
+    g, gsz = lc.shape
+    k = jnp.arange(cap, dtype=jnp.float32)
+    gk = jnp.sum((k[:, None] >= off[None, :]).astype(jnp.float32),
+                 axis=1) - 1.0                       # [cap] group of slot
+    gki = jnp.clip(gk.astype(jnp.int32), 0, g - 1)
+    jk = jnp.clip((k - off[gki]).astype(jnp.int32), 0, gsz - 1)
+    comp_seg = lc.reshape(-1)[gki * gsz + jk]
+    return jnp.clip(comp_seg, 0.0, ns - 1).astype(jnp.int32)
+
+
+def _segment_compaction_maps(scov, cap: int):
+    """(comp_seg [cap] i32, slot [Ns] i32, n_cov i32) — see
+    :func:`_segment_ranks`."""
+    lc, off, slot, n_cov = _segment_ranks(scov)
+    return (_comp_seg_for_cap(lc, off, cap, scov.shape[0]),
+            jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32), n_cov)
+
+
+def sample_texture_planes_compacted(tex: Texture, u, v, covered,
+                                    cap_fracs=(0.35, 0.60)):
+    """Bilinear-sample only the *covered* row segments of the frame —
+    equal per covered pixel (to one FMA-contraction ulp) to
+    :func:`sample_texture_planes`.
+
+    The full-frame quad gather is row-issue-bound (~3.3 ns/row on v5e —
+    ~7-8 ms at 1080p, the single biggest line in the frame) and most
+    rows are wasted: the north-star scene covers 16-38% of row segments
+    through most of its animation (tools/measure_seg_cov.py). This path
+    compacts the frame to its covered ``1 x COMPACT_SEG`` row segments —
+    segment extraction is a pure reshape (no relayout), the index maps
+    are two tiny matmuls (:func:`_segment_ranks`) — issues the quad
+    gather for ``cap = cap_frac * n_segments`` segments' pixels, applies
+    the exact same lerp expression in compacted space, and places
+    segments back with one [Ns]-row gather.
+
+    ``cap_fracs`` is an ascending tier list compiled into a nested
+    ``lax.cond`` chain: a frame takes the smallest tier that fits its
+    covered-segment count (the gather cost is the static cap, not the
+    live count), and frames over the largest tier fall back to the
+    full-frame gather — measured FREE (8.33 vs 8.37 ms plain at 1080p),
+    so high-coverage frames lose nothing. Measured at 33% segment
+    coverage: 5.1 ms at cap 0.35, 6.1 ms at cap 0.45, vs 8.4 plain
+    (tools/measure_tex_wrapper.py). (Under vmap the conds become
+    selects and every tier executes — batch callers should prefer
+    scan-over-frames, as render_batch_chunked(vmap_chunk=1) does.)
+
+    Uncovered pixels return finite garbage the caller's covered-mask
+    zeroes out (exactly like the fused epilogue's other channels).
+
+    u, v, covered: [H, W] planes, H*W a multiple of COMPACT_SEG.
+    Returns C planes [H, W].
+    """
+    th, tw, c = tex.data.shape
+    h, w = u.shape
+    k = COMPACT_SEG
+    ns = h * w // k
+
+    # Identical per-pixel base math to sample_texture_planes.
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
+    ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
+    idx = (ya * tw + xa).reshape(ns, k)              # [Ns, K] table rows
+    scov = jnp.any(covered.reshape(ns, k), axis=1)
+    lc, off, slot, n_cov = _segment_ranks(scov)
+
+    def tier(cap: int):
+        def compacted(_):
+            comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
+            sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
+            ci = idx[comp_seg]                       # [cap, K] (2D = the
+            quad = _quad_table(tex)[ci].astype(jnp.float32)  # fast gather)
+            cfx = fx.reshape(ns, k)[comp_seg]
+            cfy = fy.reshape(ns, k)[comp_seg]
+            chans = []
+            for i in range(c):
+                t00 = quad[..., i]
+                t01 = quad[..., c + i]
+                t10 = quad[..., 2 * c + i]
+                t11 = quad[..., 3 * c + i]
+                # Identical lerp expression to sample_texture_planes.
+                top = t00 + (t01 - t00) * cfx
+                bot = t10 + (t11 - t10) * cfx
+                chans.append(top + (bot - top) * cfy)   # [cap, K]
+            comp = jnp.concatenate(chans, axis=1)       # [cap, C*K]
+            full = comp[sloti]                       # [Ns, C*K] one gather
+            return [full[:, i * k:(i + 1) * k].reshape(h, w)
+                    for i in range(c)]
+
+        return compacted
+
+    def fallback(_):
+        return sample_texture_planes(tex, u, v)
+
+    chain = fallback
+    for frac in sorted(cap_fracs, reverse=True):
+        cap = -(-int(frac * ns) // 8) * 8
+        inner = chain
+
+        def level(_, cap=cap, inner=inner):
+            return jax.lax.cond(n_cov <= cap, tier(cap), inner, None)
+
+        chain = level
+    return list(chain(None))
+
+
 def sample_texture(tex: Texture, uv):
     """Sample at uv in [0,1]^2 (u right, v down). uv: [..., 2].
 

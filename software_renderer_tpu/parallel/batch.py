@@ -21,7 +21,7 @@ from ..render import RenderPass, render
 
 
 @partial(jax.jit, static_argnames=("backend",))
-def render_batch(rp: RenderPass, transforms, backend: str = "pallas"
+def render_batch(rp: RenderPass, transforms, backend: str = "auto"
                  ) -> Framebuffer:
     """Render B frames of the same scene under B transforms.
 

@@ -55,7 +55,7 @@ def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
 
 
 def render_sharded(rp: RenderPass, transforms, mesh: Mesh,
-                   backend: str = "pallas") -> Framebuffer:
+                   backend: str = "auto") -> Framebuffer:
     """Render [B] frames over a (frames, rows) mesh.
 
     transforms: [B, 4, 4], B divisible by mesh 'frames'; rp.height

@@ -65,7 +65,9 @@ class RenderPass:
 
     # Perspective-correct attribute interpolation (extension; the
     # reference interpolates screen-space linear — Shaders.metal:157,162).
-    # Supported on the 'reference'/'pallas' backends' resolve path.
+    # All backends: the fused binned path carries attr/w + 1/w planes and
+    # divides in the kernel epilogue; 'reference'/'pallas' correct the
+    # barycentric weights in the XLA resolve.
     perspective_correct: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
@@ -206,22 +208,6 @@ def render_triangles(rp: RenderPass, backend: str,
             uvs=mesh.uvs, has_light=has_light)
         if rp.clip_near and attrs is not None:
             attrs = compose_attrs(cbary, attrs)
-        if rp.perspective_correct:
-            # Perspective-correct interpolation needs per-pixel 1/w terms;
-            # use the XLA resolve path on the binned visibility buffer.
-            depth, tri_id, _ = binned_pipeline(
-                setup, None, width=rp.width, height=out_h, y_start=y0,
-                pair_budget_factor=budget)
-            depth = jax.lax.stop_gradient(depth)
-            tri_id = jax.lax.stop_gradient(tri_id)
-            color = shade(
-                setup, tri_id, tris, shading=rp.shading,
-                colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
-                light=rp.light, texture=rp.texture,
-                flat_color=rp.flat_color, normal_matrix=normal_matrix,
-                y_start=y0, w_tri=w_c,
-                corner_attrs=clipped_corner_attrs())
-            return Framebuffer(color=color, depth=depth)
         if attrs is None:
             depth, tri_id, _ = binned_pipeline(
                 setup, None, width=rp.width, height=out_h, y_start=y0,
@@ -240,6 +226,15 @@ def render_triangles(rp: RenderPass, backend: str,
         params = shading_params(rp.light, flat_color=rp.flat_color)
         epilogue = _partial(fused_epilogue, chans=chans,
                             has_light=has_light, has_texture=has_texture)
+        if rp.perspective_correct:
+            # Perspective-correct on the fast path: interpolate the
+            # affine attr/w planes plus a 1/w plane and divide in the
+            # kernel epilogue (ops/shading.py perspective_epilogue) — no
+            # XLA gather fallback.
+            from .ops.shading import (perspective_epilogue,
+                                      perspective_vertex_attrs)
+            attrs = perspective_vertex_attrs(attrs, w_c)
+            epilogue = _partial(perspective_epilogue, inner=epilogue)
         depth, tri_id, out = fused_pipeline(
             setup, attrs, params, width=rp.width, height=out_h,
             epilogue=epilogue, n_out=n_out, y_start=y0,
@@ -301,7 +296,7 @@ def render_points(rp: RenderPass) -> Framebuffer:
 
 
 def render_rows(rp: RenderPass, y_start, rows: int,
-                backend: str = "pallas") -> Framebuffer:
+                backend: str = "auto") -> Framebuffer:
     """Render only rows [y_start, y_start + rows) of the frame with global
     semantics (the row-sharding building block). ``y_start`` may be traced
     (e.g. derived from ``jax.lax.axis_index`` inside shard_map)."""
@@ -311,10 +306,16 @@ def render_rows(rp: RenderPass, y_start, rows: int,
 
 
 @partial(jax.jit, static_argnames=("backend",), inline=True)
-def render(rp: RenderPass, backend: str = "pallas") -> Framebuffer:
+def render(rp: RenderPass, backend: str = "auto") -> Framebuffer:
     """Render one frame. Fully jit-compiled; vmappable over rp leaves.
 
     Dispatch by primitive type mirrors Renderer.swift:210-219.
+
+    ``backend='auto'`` (default) routes triangles to the binned fused
+    pipeline — the fast path at every scene size (see AUTO_BIN_THRESHOLD).
+    Pass ``'pallas'`` or ``'reference'`` explicitly for geometry /
+    vertex-attribute gradients (the fused kernel stops coverage gradients)
+    or as the golden cross-check.
 
     ``inline=True``: when ``render`` is called inside an outer jit (the
     steady-state frame loop — bench.py's scan, FrameLoop), the frame graph

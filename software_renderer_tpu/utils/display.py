@@ -80,8 +80,13 @@ class FrameLoop:
         for i in range(n_frames):
             with span(f"frame_{i}"), timed("frame") as out:
                 fb = self.frame()
-                if not out_dir:
-                    out.append(fb.color)
+                # Block on the *previous* frame's device result (or this
+                # one's, when not sinking): stage_times["frame"] measures
+                # honest steady-state per-frame time in both modes, while
+                # PNG encoding of frame N-1 still overlaps the device
+                # rendering frame N (the triple-buffered-present analogue).
+                out.append(pending[1].color if pending is not None
+                           else fb.color)
             if out_dir:
                 if pending is not None:
                     self._write(writer, out_dir, *pending)

@@ -43,6 +43,9 @@ def test_row_slicing_exact():
     # Row slices keep global pixel coordinates, so coverage decisions are
     # exact; depth values may differ by codegen ulps (XLA fuses the depth
     # FMA differently per shape), flipping depth *ties* at shared edges.
+    # assert_tie_class_equal checks that failure mode itself: every
+    # differing pixel must carry ~equal depth in both renders.
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
     rp = demo_rp()
     t = tf.reference_demo_transform(0.4)
     rp = dataclasses.replace(rp, transform=t)
@@ -52,13 +55,12 @@ def test_row_slicing_exact():
     bot = render_rows(rp, y_start=32, rows=32, backend="reference")
     color = np.concatenate([np.asarray(top.color), np.asarray(bot.color)])
     depth = np.concatenate([np.asarray(top.depth), np.asarray(bot.depth)])
-    bad_c = ~np.isclose(np.asarray(full.color), color, atol=1e-6)
-    bad_d = ~np.isclose(np.asarray(full.depth), depth, atol=1e-6)
-    assert bad_c.any(axis=-1).mean() < 0.005
-    assert bad_d.mean() < 0.005
+    assert_tie_class_equal(full.color, color, full.depth, depth,
+                           context="row slicing")
 
 
 def test_sharded_render_8_devices():
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
     assert len(jax.devices()) == 8
     mesh = make_mesh(2, 4)
     rp = demo_rp()
@@ -68,12 +70,39 @@ def test_sharded_render_8_devices():
     # Equality vs unsharded batch (up to FMA-codegen ulps flipping depth
     # ties at shared edges, see test_row_slicing_exact).
     fb_ref = render_batch(rp, transforms, backend="reference")
-    bad_c = ~np.isclose(np.asarray(fb.color), np.asarray(fb_ref.color),
-                        atol=1e-6)
-    bad_d = ~np.isclose(np.asarray(fb.depth), np.asarray(fb_ref.depth),
-                        atol=1e-6)
-    assert bad_c.any(axis=-1).mean() < 0.005
-    assert bad_d.mean() < 0.005
+    assert_tie_class_equal(fb.color, fb_ref.color, fb.depth, fb_ref.depth,
+                           context="8-device shard_map")
+
+
+def test_tie_class_check_catches_row_shift():
+    """The tie-class comparison must FAIL on an artificial 1-row shift —
+    the injected-bug sensitivity a blanket <0.5% tolerance lacks."""
+    import pytest
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
+    rp = demo_rp()
+    rp = dataclasses.replace(rp, transform=tf.reference_demo_transform(0.4))
+    full = sr.render(rp, backend="reference")
+    color = np.asarray(full.color)
+    depth = np.asarray(full.depth)
+    shifted_c = np.roll(color, 1, axis=0)
+    shifted_d = np.roll(depth, 1, axis=0)
+    with pytest.raises(AssertionError):
+        assert_tie_class_equal(color, shifted_c, depth, shifted_d,
+                               context="injected 1-row shift")
+    # Also with a *small* shifted region (under the pixel-count tolerance):
+    # 1 row of 64 = 2.4% -> shift only a 16-pixel strip (0.4% of pixels),
+    # still a real bug the depth-tie condition must catch.
+    small_c = color.copy()
+    small_d = depth.copy()
+    # Pick a strip crossing the sphere so depths actually change.
+    src = slice(28, 44)
+    small_c[32, src] = color[33, src]
+    small_d[32, src] = depth[33, src]
+    changed = ~np.isclose(small_d[32, src], depth[32, src], atol=1e-6)
+    assert changed.any(), "strip choice must actually alter depths"
+    with pytest.raises(AssertionError):
+        assert_tie_class_equal(color, small_c, depth, small_d,
+                               context="injected 16px strip shift")
 
 
 def test_texture_train_step_decreases_loss():

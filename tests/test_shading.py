@@ -1,6 +1,7 @@
 """Shading modes: flat, phong, textured; texture sampling; MSAA."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import software_renderer_tpu as sr
@@ -113,3 +114,113 @@ def test_downsample_box():
     img = jnp.arange(16, dtype=jnp.float32).reshape(4, 4, 1)
     out = np.asarray(downsample_box(img, 2))
     np.testing.assert_allclose(out[0, 0, 0], (0 + 1 + 4 + 5) / 4)
+
+
+# ---- segment-compacted bilinear sampler --------------------------------
+
+
+def _compacted_case(rng, h, w, wrap, c=3, th=32, tw=32, cover_p=0.2,
+                    cap_fracs=(0.35, 0.75)):
+    from software_renderer_tpu.ops.texture import (
+        sample_texture_planes, sample_texture_planes_compacted)
+    data = jnp.asarray(rng.random((th, tw, c), np.float32))
+    tex = Texture(data=data, wrap=wrap)
+    u = jnp.asarray(rng.random((h, w), np.float32) * 3.0 - 1.0)
+    v = jnp.asarray(rng.random((h, w), np.float32) * 3.0 - 1.0)
+    # Clustered coverage: a band of rows, so some segments are empty.
+    covered = jnp.asarray(
+        (rng.random((h, w)) < cover_p)
+        & (np.arange(h)[:, None] < h // 2))
+    got = sample_texture_planes_compacted(tex, u, v, covered,
+                                          cap_fracs=cap_fracs)
+    want = sample_texture_planes(tex, u, v)
+    return got, want, covered
+
+
+def test_compacted_sampler_bit_equal_covered():
+    """Covered pixels must equal the per-pixel quad path to one ulp (same
+    table rows, same lerp expression; XLA's per-fusion FMA contraction
+    differs between the [cap, K] and [H, W] shapes)."""
+    rng = np.random.default_rng(7)
+    for wrap in ("repeat", "clamp"):
+        got, want, covered = _compacted_case(rng, 16, 256, wrap=wrap)
+        cov = np.asarray(covered)
+        assert cov.any()
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g)[cov],
+                                       np.asarray(w_)[cov], atol=1e-6)
+
+
+def test_compacted_sampler_fallback_over_cap():
+    """Covered-segment count above cap -> whole-frame fallback, exact
+    everywhere (not just covered pixels) up to cond-fusion ulps."""
+    rng = np.random.default_rng(8)
+    got, want, _ = _compacted_case(rng, 16, 256, wrap="repeat",
+                                   cover_p=1.0, cap_fracs=(0.1, 0.25))
+    for g, w_ in zip(got, want):
+        # same code path, but cond-branch fusion can contract FMAs
+        # differently than the standalone call -> one-ulp class again
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   atol=1e-6)
+
+
+def test_compacted_sampler_engages():
+    """The sparse case must actually take the compacted branch (no silent
+    always-fallback): count quad-table gathers under disable_jit, where
+    lax.cond runs only the selected branch."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    rng = np.random.default_rng(9)
+    calls = []
+    orig = tex_mod._quad_table
+
+    def spy(tex):
+        calls.append(1)
+        return orig(tex)
+
+    tex_mod._quad_table = spy
+    try:
+        with jax.disable_jit():
+            _compacted_case(rng, 16, 256, wrap="repeat", cover_p=0.1)
+        # compacted branch: 1 call from the compacted gather + 1 from the
+        # reference 'want' recompute in _compacted_case
+        taken_sparse = len(calls)
+        calls.clear()
+        with jax.disable_jit():
+            _compacted_case(rng, 16, 256, wrap="repeat", cover_p=1.0,
+                            cap_fracs=(0.1, 0.25))
+        taken_dense = len(calls)
+    finally:
+        tex_mod._quad_table = orig
+    assert taken_sparse == 2
+    assert taken_dense == 2  # fallback also gathers once (+ the 'want')
+
+
+def test_compacted_sampler_single_channel_finite():
+    rng = np.random.default_rng(10)
+    got, want, covered = _compacted_case(rng, 8, 128, wrap="clamp", c=1,
+                                         cover_p=0.3)
+    cov = np.asarray(covered)
+    assert len(got) == 1
+    np.testing.assert_allclose(np.asarray(got[0])[cov],
+                               np.asarray(want[0])[cov], atol=1e-6)
+    # Uncovered outputs are garbage but must not be +-inf (callers
+    # multiply by 0; inf*0 = NaN leaks through sums).
+    assert not np.isinf(np.asarray(got[0])[~cov]).any()
+
+
+def test_compaction_maps_roundtrip():
+    """slot/comp_seg are mutually inverse on covered segments and n_cov
+    counts them, for random and edge-case (none/all covered) masks."""
+    from software_renderer_tpu.ops.texture import _segment_compaction_maps
+    rng = np.random.default_rng(11)
+    for ns, p in ((7, 0.4), (128, 0.0), (128, 1.0), (300, 0.3),
+                  (1000, 0.9)):
+        scov = jnp.asarray(rng.random(ns) < p)
+        cap = ns + 8 - ns % 8
+        comp_seg, slot, n_cov = _segment_compaction_maps(scov, cap)
+        scov_np = np.asarray(scov)
+        ids = np.nonzero(scov_np)[0]
+        assert int(n_cov) == len(ids)
+        np.testing.assert_array_equal(np.asarray(comp_seg)[:len(ids)], ids)
+        np.testing.assert_array_equal(np.asarray(slot)[ids],
+                                      np.arange(len(ids)))

@@ -226,9 +226,29 @@ def stage_vertex(i):
     return jnp.sum(screen_c) + jnp.sum(w_c)
 
 
+def stage_planes(i):
+    """Setup + attribute-plane math (no binning): isolates the [T, A, 3]
+    per-channel plane construction from the rest of `stream`."""
+    from software_renderer_tpu.ops.binning import attribute_planes
+    s = setup_of(i)
+    attrs, _ = _attrs(s)
+    return jnp.sum(attribute_planes(s, attrs))
+
+
+def stage_table(i):
+    """Setup + full combined stream table (records + planes, concat) —
+    everything per-triangle EXCEPT binning/sort/gather."""
+    s = setup_of(i)
+    attrs, _ = _attrs(s)
+    table, a, poison = build_stream_table(s, attrs)
+    return jnp.sum(table)
+
+
 STAGES = [
     ("vertex", stage_vertex),
     ("setup", stage_setup),
+    ("planes", stage_planes),
+    ("table", stage_table),
     ("bins", stage_bins),
     ("stream", stage_stream),
     ("visibility", stage_visibility),

@@ -76,14 +76,21 @@ def sphere_scene():
                          height=256, shading="vertex")
 
 
-def check(name, rp, backends=("binned", "pallas"), atol=1e-3):
+def check(name, rp, backends=("binned", "pallas"), atol=1e-3,
+          golden_backend="reference"):
     """atol: color ulp class. Lit (Phong/specular) scenes pass a wider
     bound: normalization is bit-equal across compilers (1/sqrt, see
     ops/shading.py), but `pow(ndoth, shininess)` lowers to different
     exp/log approximations under Mosaic vs XLA and the specular exponent
     amplifies those ulps ~shininess-fold (same tolerance class as the
-    reference's fast-math GPU vs Swift CPU pair)."""
-    fb_ref = jax.block_until_ready(sr.render(rp, backend="reference"))
+    reference's fast-math GPU vs Swift CPU pair).
+
+    golden_backend: the cross-check source. 'reference' (pure XLA) for
+    scenes it can afford; the 1080p/100k north-star uses the unbinned
+    'pallas' kernel + XLA gather resolve as golden instead (independent
+    binning/stream/fused-epilogue code paths; visibility math shared —
+    which is exactly what the coverage/depth bit-equality certifies)."""
+    fb_ref = jax.block_until_ready(sr.render(rp, backend=golden_backend))
     c_ref = np.asarray(fb_ref.color)
     d_ref = np.asarray(fb_ref.depth)
     for backend in backends:
@@ -115,6 +122,23 @@ def main():
     check("config3 teapot", scenes.config3_phong_mesh(0.3), atol=4e-3)
     check("overflow seeded", overflow_scene())
     check("clip straddling", _clip_scene(), backends=("binned",))
+    check("perspective quad", _perspective_scene(), backends=("binned",))
+
+    # The north-star scene itself (config 4: 1920x1080, 100k triangles,
+    # culling on -> pair budget 0.75, production tile/chunk constants) —
+    # the configuration whose binned machinery is most stressed, validated
+    # by backend parity on hardware rather than only a bench checksum.
+    # Golden = the unbinned pallas kernel (a 'reference' render at this
+    # size would be O(T x pixels) ~ 2e11 edge tests). Plus forced-spill
+    # variants at the same constants: 2 huge triangles take the one-chunk
+    # small-wave overflow branch, 200 take the full-capacity waves.
+    if os.environ.get("GATE_SKIP_CONFIG4", "0") != "1":
+        check("config4 northstar", scenes.config4_many_objects(0.3),
+              backends=("binned",), golden_backend="pallas", atol=4e-3)
+        check("config4 small spill", _config4_spill(2),
+              backends=("binned",), golden_backend="pallas", atol=4e-3)
+        check("config4 mass spill", _config4_spill(200),
+              backends=("binned",), golden_backend="pallas", atol=4e-3)
 
     # Golden image artifact: the reference demo sphere, quantized.
     fb = jax.block_until_ready(sr.render(sphere_scene(), backend="binned"))
@@ -129,6 +153,59 @@ def main():
                                       err_msg="sphere golden PNG mismatch")
         print("  sphere matches golden PNG byte-for-byte", flush=True)
     print("TPU GATE PASSED", flush=True)
+
+
+def _config4_spill(n_huge: int, time: float = 0.3):
+    """Config 4 plus ``n_huge`` screen-spanning triangles: their bbox tile
+    span exceeds KMAX, so they spill to the overflow waves at production
+    constants (chunk 128: n_huge <= 128 exercises the small one-chunk
+    wave, larger counts the full-capacity waves)."""
+    import dataclasses
+    rp = scenes.config4_many_objects(time)
+    mesh = rp.mesh
+    rng = np.random.default_rng(5)
+    nv = mesh.num_vertices
+    pos, col, nrm, uv, idx = [], [], [], [], []
+    for i in range(n_huge):
+        z = 0.2 + 0.6 * rng.random()
+        ang = rng.random() * 2 * np.pi
+        c, s = np.cos(ang), np.sin(ang)
+        base = np.array([[-4.0, 4.0, z], [4.0, 4.0, z], [0.0, -5.0, z]],
+                        np.float32)
+        base[:, :2] = base[:, :2] @ np.array([[c, -s], [s, c]], np.float32)
+        pos.append(base)
+        col.append(rng.uniform(0.3, 1.0, (3, 3)).astype(np.float32))
+        nrm.append(np.tile(np.array([[0.0, 0.0, -1.0]], np.float32),
+                           (3, 1)))
+        uv.append(np.array([[0, 0], [1, 0], [0.5, 1]], np.float32))
+        # Both windings, so exactly one of each pair survives backface
+        # culling under the scene's production cull_backfaces=True.
+        idx.append(nv + 3 * i + np.array([0, 1, 2, 0, 2, 1]))
+    mesh2 = sr.mesh_from_numpy(
+        np.concatenate([np.asarray(mesh.positions)] + pos),
+        np.concatenate([np.asarray(mesh.indices)] + idx),
+        colors=np.concatenate([np.asarray(mesh.colors)] + col),
+        normals=np.concatenate([np.asarray(mesh.normals)] + nrm),
+        uvs=np.concatenate([np.asarray(mesh.uvs)] + uv))
+    return dataclasses.replace(rp, mesh=mesh2)
+
+
+def _perspective_scene():
+    """Slanted textured quad with perspective_correct=True: exercises the
+    fused kernel's attr/w + 1/w epilogue divide on real Mosaic."""
+    from software_renderer_tpu.ops import transforms as tf
+    positions = np.array([
+        [-0.5, -0.2, -0.5], [0.5, -0.2, -0.5],
+        [0.5, -0.2, -3.0], [-0.5, -0.2, -3.0]], np.float32)
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    mesh = sr.mesh_from_numpy(positions, np.array([0, 1, 2, 0, 2, 3]),
+                              colors=np.ones((4, 3), np.float32), uvs=uvs)
+    proj = tf.perspective(np.pi / 3, 1.0, 0.1, 10.0)
+    view = tf.look_at(eye=(0.0, 0.3, 0.5), target=(0.0, -0.2, -2.0))
+    return sr.RenderPass(mesh=mesh, transform=proj @ view, width=256,
+                         height=256, shading="textured",
+                         texture=sr.checkerboard(64, 8),
+                         perspective_correct=True)
 
 
 def _clip_scene():
