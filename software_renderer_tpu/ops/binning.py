@@ -11,20 +11,27 @@ list — work is O(sum of bbox-tile overlaps), not O(tiles x triangles),
 with zero host round-trips.
 
 Bin build (all inside one jit; every step gather-based — no scatters):
- 1. expansion  — each triangle emits up to KMAX (tile, tri) pairs from its
-    bbox tile span; triangles spanning more tiles, or past the pair
-    budget, go to the *overflow* list (processed by the bbox-tested
-    unbinned kernel and merged with a lexicographic (depth, id) rule —
-    identical to the reference's first-drawn-wins tie semantics, but
-    order-independent).
+ 1. compact emission — each binned triangle owns the pair-slot interval
+    [starts[t], starts[t] + nspan[t]) of a [budget]-sized slot array
+    (starts = exact exclusive cumsum of the bbox tile spans, two
+    triangular matmuls on the MXU); slot -> (triangle, k) resolves with
+    one searchsorted + one row gather, so the emission is ALREADY
+    compacted to the pair budget — the sort input is ~t*avg_span keys,
+    not t*KMAX (9x smaller at 1080p/100k; the full [T, kmax] emission
+    sort measured +4.5 ms/frame, the compacted one ~1.5 ms). Triangles
+    spanning more tiles than kmax, or past the pair budget, go to the
+    *overflow* list (processed by the bbox-tested unbinned kernel and
+    merged with a lexicographic (depth, id) rule — identical to the
+    reference's first-drawn-wins tie semantics, but order-independent).
  2. argsort    — pairs sorted by tile id (stable, so each tile's list stays
     in ascending triangle order = reference encoder order).
  3. layout     — each tile's segment is padded to a CHUNK multiple and laid
     out densely; every tile owns >= 1 chunk so every output tile is
-    initialized. Slots map back to sorted entries by *inverting* the
-    layout (slot -> source via searchsorted), so the stream is produced by
-    one gather from a combined per-triangle table (raster records +
-    attribute planes) — a single [cap, W] gather feeds both kernels.
+    initialized. Real pairs plus per-tile alignment fillers sort directly
+    into the final padded layout (per-tile counts from one rectangle
+    matmul), so the stream is produced by one gather from a combined
+    per-triangle table (raster records + attribute planes) — a single
+    [cap, W] gather feeds both kernels.
  4. kernels    — 1D grid over chunks; a scalar-prefetched chunk->tile map
     drives the output BlockSpec (the grouped/"megablox" pattern):
     consecutive chunks of one tile revisit the same VMEM block, so z/id
@@ -71,6 +78,35 @@ PAIR_BUDGET_FACTOR = 1.5
 REC_BASE = 11
 
 
+def _inclusive_cumsum_mm(x, t_kmax_max: int):
+    """Exact inclusive cumsum of a non-negative i32 [T] array.
+
+    Two triangular-mask matmuls (within 256-blocks + across block sums) —
+    the same MXU pattern as :func:`live_first_permutation`. Exact in f32
+    while the total stays < 2^24; callers whose worst-case total
+    (``t_kmax_max``) can exceed that get the plain (slower, log-depth)
+    ``jnp.cumsum`` instead. A [T] jnp.cumsum measured ~1.7 ms at T=100k
+    on v5e; the matmul form is noise.
+    """
+    if t_kmax_max >= (1 << 24):
+        return jnp.cumsum(x)
+    t = x.shape[0]
+    blk = 256
+    tp = -(-t // blk) * blk
+    hi = jax.lax.Precision.HIGHEST
+    xp = jnp.zeros((tp,), jnp.float32).at[:t].set(x.astype(jnp.float32))
+    xb = xp.reshape(-1, blk)
+    nb = xb.shape[0]
+    jj = jnp.arange(blk)
+    incl = (jj[:, None] <= jj[None, :]).astype(jnp.float32)
+    within = jax.lax.dot(xb, incl, precision=hi)      # [nb, blk] inclusive
+    bsum = within[:, -1]
+    bb = jnp.arange(nb)
+    before = (bb[:, None] > bb[None, :]).astype(jnp.float32)
+    boff = jax.lax.dot(before, bsum, precision=hi)    # [nb] exclusive
+    return (within + boff[:, None]).reshape(-1)[:t].astype(x.dtype)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BinInfo:
@@ -115,72 +151,48 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     gw = -(-width // tile_w)
     ntiles = gh * gw
 
-    bbox = setup.bbox  # [T, 4] x0 y0 x1 y1, clamped to the full viewport
+    # Accepts the array TriangleSetup or the planar front-end's
+    # PlanarSetup (ops/frontend.py) — the latter's bbox columns are
+    # already separate [T] arrays (no strided narrow-minor slices).
+    from .frontend import PlanarSetup
+    if isinstance(setup, PlanarSetup):
+        bbx0, bby0, bbx1, bby1 = setup.bx0, setup.by0, setup.bx1, setup.by1
+        coef_col = lambda row, j: (
+            (setup.a0, setup.a1, setup.a2),
+            (setup.b0, setup.b1, setup.b2),
+            (setup.c0, setup.c1, setup.c2))[row][j]
+    else:
+        bbox = setup.bbox  # [T, 4] x0 y0 x1 y1, clamped to the viewport
+        bbx0, bby0, bbx1, bby1 = (bbox[:, 0], bbox[:, 1], bbox[:, 2],
+                                  bbox[:, 3])
+        coef_col = lambda row, j: setup.coef[:, row, j]
     y0g = jnp.asarray(y_start, jnp.int32)
     # Tile span in this slice's tile grid (global rows shifted by y_start).
-    tx0 = bbox[:, 0] // tile_w
-    tx1 = bbox[:, 2] // tile_w
-    ty0 = jnp.clip((bbox[:, 1] - y0g) // tile_h, 0, gh - 1)
-    ty1 = jnp.clip((bbox[:, 3] - y0g) // tile_h, 0, gh - 1)
-    in_slice = (bbox[:, 3] >= y0g) & (bbox[:, 1] < y0g + gh * tile_h)
+    tx0 = bbx0 // tile_w
+    tx1 = bbx1 // tile_w
+    ty0 = jnp.clip((bby0 - y0g) // tile_h, 0, gh - 1)
+    ty1 = jnp.clip((bby1 - y0g) // tile_h, 0, gh - 1)
+    in_slice = (bby1 >= y0g) & (bby0 < y0g + gh * tile_h)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     nspan = span_w * span_h
     valid = setup.valid & in_slice
     small = valid & (nspan <= kmax)
     # Pair budget: triangles whose cumulative pair demand exceeds the
-    # budget spill to the overflow list. The prefix is evaluated at
-    # 256-triangle block granularity: identical to the exact per-triangle
-    # prefix whenever the scene fits the budget (the common case — every
-    # block prefix passes), and merely spills up to one extra block's
-    # triangles on frames that overflow anyway (a full [T] cumsum costs
-    # ~1.7 ms on v5e at T=100k; the [T/256] one is noise).
+    # budget spill to the overflow list (exact per-triangle prefix — the
+    # matmul cumsum costs ~nothing, unlike the ~1.7 ms [T] jnp.cumsum the
+    # earlier block-granular prefix avoided). The cutoff is monotone: once
+    # the prefix passes the budget every later triangle spills too, so
+    # the binned set owns one contiguous slot range per triangle.
     budget_pairs = -(int(-pair_budget_factor * max(t, 1)) // chunk) * chunk
     nsp = jnp.where(small, nspan, 0)
-    blk = 256
-    t_pad = -(-t // blk) * blk
-    nsp_p = jnp.zeros((t_pad,), nsp.dtype).at[:t].set(nsp)
-    block_cum_end = jnp.cumsum(jnp.sum(nsp_p.reshape(-1, blk), axis=-1))
-    binned = small & (jnp.repeat(block_cum_end, blk)[:t] <= budget_pairs)
+    cum = _inclusive_cumsum_mm(nsp, t * kmax)
+    binned = small & (cum <= budget_pairs)
     overflow = valid & ~binned
-
-    # 1. Expansion: pair k of triangle covers tile (ty0 + k // span_w,
-    #    tx0 + k % span_w).
-    k = jnp.arange(kmax, dtype=jnp.int32)
-    dx = k[None, :] % span_w[:, None]
-    dy = k[None, :] // span_w[:, None]
-    tile = (ty0[:, None] + dy) * gw + (tx0[:, None] + dx)  # [T, kmax]
-    pair_valid = binned[:, None] & (k[None, :] < nspan[:, None])
-
-    # 1b. Exact tile-corner prune: a thin diagonal triangle's bbox overlaps
-    #     tiles the triangle itself never touches. An affine edge attains
-    #     its max over a tile's pixel-center rectangle at a corner, and the
-    #     e_j are exact in f32 (ops/setup.py numerics), so `max_rect e_j < 0
-    #     for some j` proves zero coverage — prune the pair. Pruned pairs
-    #     become per-tile *fillers* (key = tile, id = sentinel) so the
-    #     layout still matches the rectangle counts matmul below; they cost
-    #     one inert slot instead of a full kernel record walk (live chunks
-    #     are detected from the sorted ids, so all-pruned tails are
-    #     skipped entirely).
-    if prune:
-        px0 = ((tx0[:, None] + dx) * tile_w).astype(jnp.float32) + 0.5
-        py0 = ((ty0[:, None] + dy) * tile_h + y0g).astype(jnp.float32) + 0.5
-        px1 = px0 + (tile_w - 1)
-        py1 = py0 + (tile_h - 1)
-        overlap = pair_valid
-        for j in range(3):
-            a = setup.coef[:, 0, j][:, None]
-            b = setup.coef[:, 1, j][:, None]
-            c = setup.coef[:, 2, j][:, None]
-            emax = (a * jnp.where(a >= 0.0, px1, px0)
-                    + b * jnp.where(b >= 0.0, py1, py0) + c)
-            overlap = overlap & (emax >= 0.0)
-        pruned = pair_valid & ~overlap
-        pair_valid = overlap
-    else:
-        pruned = jnp.zeros_like(pair_valid)
-
-    keys = jnp.where(pair_valid | pruned, tile, ntiles)  # [T, kmax]
+    # Exclusive slot starts over the *binned* set (plateaus after the
+    # budget cutoff — still sorted, which searchsorted below requires).
+    nspb = jnp.where(binned, nspan, 0)
+    sb = _inclusive_cumsum_mm(nspb, t * kmax) - nspb
 
     # 2. Per-tile pair counts WITHOUT sorting: a binned triangle covers a
     #    rectangle of tiles, so counts[ty, tx] = sum_t rowmask[t, ty] *
@@ -198,6 +210,83 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                      precision=jax.lax.Precision.HIGHEST
                      ).astype(jnp.int32).reshape(ntiles)
 
+    n_fill = ntiles * chunk
+    pairs_cap = min(int(budget_pairs), -(-(t * kmax) // chunk) * chunk)
+    cap = pairs_cap + n_fill
+    id_bits = (t + 1).bit_length()  # ids 0..t-1; t = filler sentinel
+    tile_bits = (ntiles + 2).bit_length()
+    # Static-shape feasibility; callers check packed_keys_fit() and route
+    # to the unbinned kernel instead of hitting this.
+    assert id_bits + tile_bits <= 31, (
+        f"scene too large for packed binning keys: {t} triangles over "
+        f"{ntiles} tiles needs {id_bits + tile_bits} bits")
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
+
+    if not prune:
+        # 1. Compact emission: slot s of the [pairs_cap] slot array belongs
+        #    to the binned triangle whose interval [sb, sb + nspan) covers
+        #    s; pair k = s - sb[src] covers tile (ty0 + k // span_w,
+        #    tx0 + k % span_w). One searchsorted + ONE row gather of a
+        #    [T, 6] emission table resolve every slot — no [T, kmax]
+        #    arrays exist at all, and the sort below sees pairs_cap keys
+        #    (~t*avg_span), not t*kmax (the full-emission sort of 1.26M
+        #    keys measured +4.5 ms/frame at 1080p/100k on v5e; this form
+        #    ~1.5 ms).
+        etab = jnp.stack([sb, tx0, ty0, span_w, nspb, tri_ids],
+                         axis=-1)  # [T, 6]
+        slots = jnp.arange(pairs_cap, dtype=jnp.int32)
+        # method='sort': ONE extra [T + cap] merge-sort instead of the
+        # default binary search, whose log2(T) rounds of scalar gathers
+        # measured ~10 ms at these sizes (TPU gathers are the enemy;
+        # sorts are cheap).
+        src = (jnp.searchsorted(sb, slots, side="right",
+                                method="sort").astype(jnp.int32) - 1)
+        erow = etab[jnp.clip(src, 0, t - 1)]  # [pairs_cap, 6]
+        k = slots - erow[:, 0]
+        live = (src >= 0) & (k < erow[:, 4])
+        dx = jnp.where(live, k % jnp.maximum(erow[:, 3], 1), 0)
+        dy = jnp.where(live, k // jnp.maximum(erow[:, 3], 1), 0)
+        tile_c = (erow[:, 2] + dy) * gw + (erow[:, 1] + dx)
+        keys_c = jnp.where(live, tile_c, ntiles + 1)
+        idpart = jnp.where(live, erow[:, 5], t)
+        packed = (keys_c << id_bits) | idpart
+    else:
+        # 1'. Full [T, kmax] emission — kept for the exact tile-corner
+        #    prune, which tests every pair against the triangle's edge
+        #    functions (a pair-level test needs the pairs materialized).
+        #    Pruned pairs become per-tile *fillers* (key = tile, id =
+        #    sentinel) so the layout still matches the rectangle counts
+        #    matmul; they cost one inert slot instead of a kernel record
+        #    walk. OFF by default: the strided [T, 3, 3] coefficient
+        #    slices broadcast over [T, kmax] measured +5 ms at 1080p/100k.
+        k = jnp.arange(kmax, dtype=jnp.int32)
+        dx = k[None, :] % span_w[:, None]
+        dy = k[None, :] // span_w[:, None]
+        tile = (ty0[:, None] + dy) * gw + (tx0[:, None] + dx)  # [T, kmax]
+        pair_valid = binned[:, None] & (k[None, :] < nspan[:, None])
+        px0 = ((tx0[:, None] + dx) * tile_w).astype(jnp.float32) + 0.5
+        py0 = ((ty0[:, None] + dy) * tile_h + y0g).astype(jnp.float32) + 0.5
+        px1 = px0 + (tile_w - 1)
+        py1 = py0 + (tile_h - 1)
+        overlap = pair_valid
+        for j in range(3):
+            a = coef_col(0, j)[:, None]
+            b = coef_col(1, j)[:, None]
+            c = coef_col(2, j)[:, None]
+            emax = (a * jnp.where(a >= 0.0, px1, px0)
+                    + b * jnp.where(b >= 0.0, py1, py0) + c)
+            overlap = overlap & (emax >= 0.0)
+        pruned = pair_valid & ~overlap
+        pair_valid = overlap
+        keys = jnp.where(pair_valid | pruned, tile, ntiles)  # [T, kmax]
+        idpart = jnp.where(pruned, t, tri_ids[:, None])
+        packed_full = ((keys << id_bits) | idpart).reshape(-1)
+        # Compact the full emission to pairs_cap keys with ONE small
+        # top-k-style sort-free prefix? No — the prune path keeps the
+        # full sort (it is the measurement baseline and prune is off by
+        # default).
+        packed = packed_full
+
     # 3. Sorted, chunk-aligned layout with ONE sort and no scatter (XLA
     #    TPU scatter of 400k indices measured ~8 ms). (tile, triangle-id)
     #    pairs pack into one int32 — a triangle's pairs go to *distinct*
@@ -208,24 +297,6 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     #    (keyed by their tile with the sentinel id, sorting right after
     #    the tile's real entries; the rest keyed past the tile sentinel)
     #    sort directly into the final padded layout.
-    n_pairs = t * kmax
-    n_fill = ntiles * chunk
-    n_all = n_pairs + n_fill
-    pairs_cap = min(int(budget_pairs), -(-n_pairs // chunk) * chunk)
-    cap = pairs_cap + n_fill
-    id_bits = (t + 1).bit_length()  # ids 0..t-1; t = filler sentinel
-    tile_bits = (ntiles + 2).bit_length()
-    # Static-shape feasibility; callers check packed_keys_fit() and route
-    # to the unbinned kernel instead of hitting this.
-    assert id_bits + tile_bits <= 31, (
-        f"scene too large for packed binning keys: {t} triangles over "
-        f"{ntiles} tiles needs {id_bits + tile_bits} bits")
-
-    tri_ids = jnp.arange(t, dtype=jnp.int32)
-    # Pruned pairs carry the filler sentinel id: they sort to the tail of
-    # their tile's segment (stable, after all real ids) and decode to -1.
-    idpart = jnp.where(pruned, t, tri_ids[:, None])
-    packed = ((keys << id_bits) | idpart).reshape(-1)
     pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
     pad_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
@@ -236,6 +307,7 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     f_keys = jnp.where(f_active, f_tile, ntiles + 1)
     f_packed = (f_keys << id_bits) | t
     parts = [packed, f_packed]
+    n_all = packed.shape[0] + n_fill
     if n_all < cap:  # tiny scenes: pad with sentinels so the slice fits
         parts.append(jnp.full((cap - n_all,),
                               (((ntiles + 1) << id_bits) | t), jnp.int32))
@@ -625,7 +697,7 @@ def _ov_len(t: int, chunk: int, overflow_cap: int) -> int:
     return -(-min(overflow_cap, max(t, 1)) // chunk) * chunk
 
 
-def _overflow_visibility(setup, info, depth0, id0, *, width, height,
+def _overflow_visibility(rec_table_fn, info, depth0, id0, *, width, height,
                          y_start, tile_h, tile_w, chunk, ov_len,
                          interpret):
     """Merge ALL overflow triangles into (depth0, id0) in waves of ov_len.
@@ -635,13 +707,17 @@ def _overflow_visibility(setup, info, depth0, id0, *, width, height,
     result and it composes exactly with the binned pass's first-wins-ties
     semantics. Call INSIDE an overflow-only branch (contains a sort).
 
+    rec_table_fn: thunk producing the [T_pad, 16] raster records
+    (pack_records / frontend.pack_records_planar) — a thunk so the table
+    is only materialized inside the overflow-only branch.
+
     ov_len is the static wave width: callers pick a small wave (one chunk,
     a ~couple-hundred-step merge grid) when few triangles spilled and the
     big overflow_cap wave otherwise, so a frame with a handful of huge
     triangles doesn't pay a full-capacity merge.
     """
     ov_ids = overflow_id_waves(info, ov_len)
-    rec_table = pack_records(setup, chunk)
+    rec_table = rec_table_fn()
 
     def wave(state):
         k, d, i = state
@@ -660,7 +736,7 @@ def _overflow_visibility(setup, info, depth0, id0, *, width, height,
     return d, i
 
 
-def _overflow_gbuffer(setup, info, table, poison, tid_p, gb0, *, width,
+def _overflow_gbuffer(info, table, poison, tid_p, gb0, *, width,
                       height, y_start, tile_h, tile_w, chunk, ov_len,
                       interpret):
     """Resolve overflow triangles' attribute planes into gb0 [A, H, W]
@@ -813,9 +889,9 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
 
     def ov_vis(args, ov_len):
         return _overflow_visibility(
-            setup, info, *args, width=width, height=height,
-            y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-            ov_len=ov_len, interpret=interpret)
+            functools.partial(pack_records, setup, chunk), info, *args,
+            width=width, height=height, y_start=y_start, tile_h=tile_h,
+            tile_w=tile_w, chunk=chunk, ov_len=ov_len, interpret=interpret)
 
     if big_ov > chunk:
         merge_vis = lambda args: jax.lax.cond(
@@ -869,7 +945,7 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
     # --- overflow resolve (rare; same wave scheme as the visibility merge) --
     def ov_gb(g, ov_len):
         return _overflow_gbuffer(
-            setup, info, table, poison, tid_p, g, width=width,
+            info, table, poison, tid_p, g, width=width,
             height=height, y_start=y_start, tile_h=tile_h, tile_w=tile_w,
             chunk=chunk, ov_len=ov_len, interpret=interpret)
 
@@ -929,7 +1005,12 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     sub = min(sub, max(chunk // 32, 1))  # keep sub-segments >= 32 records
     while chunk % sub:  # round non-divisor subs down to a divisor
         sub -= 1
-    a = attrs.shape[-1]
+    # Polymorphic over the front-end layout: an array TriangleSetup with
+    # [T, 3, A] attrs, or the planar front-end (ops/frontend.py) with
+    # attrs = list over A of per-corner (v1, v2, v3) [T] column triplets.
+    from . import frontend as fe
+    planar = isinstance(setup, fe.PlanarSetup)
+    a = len(attrs) if planar else attrs.shape[-1]
     t = setup.num_triangles
     prm = jnp.asarray(params, jnp.float32).reshape(1, -1)
 
@@ -944,6 +1025,10 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         # Static fallback: unbinned visibility + XLA gather resolve.
         from .rasterize_pallas import visibility_pallas
         from .resolve import barycentrics_at_pixels, interpolate_attribute
+        if planar:
+            setup = fe.to_setup(setup)
+            attrs = jnp.stack([jnp.stack(v, axis=-2) for v in attrs],
+                              axis=-1)  # -> [T, 3, A]
         depth, tri_id = visibility_pallas(
             setup, width=width, height=height, y_start=y_start,
             tile_h=tile_h, tile_w=tile_w, chunk=chunk, interpret=interpret)
@@ -955,7 +1040,13 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                       tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
                       overflow_cap=overflow_cap,
                       pair_budget_factor=pair_budget_factor, prune=prune)
-    table, _, poison = build_stream_table(setup, attrs)
+    if planar:
+        table, _, poison = fe.stream_table_planar(
+            setup, fe.attribute_plane_cols(setup, attrs))
+        rec_fn = functools.partial(fe.pack_records_planar, setup, chunk)
+    else:
+        table, _, poison = build_stream_table(setup, attrs)
+        rec_fn = functools.partial(pack_records, setup, chunk)
     stream = gather_stream(table, info.ids, poison)
     wtot = table.shape[-1]
     pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
@@ -1122,13 +1213,13 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
             z0 = jnp.full((height, width), jnp.inf, jnp.float32)
             i0 = jnp.full((height, width), -1, jnp.int32)
             z_ov, id_ov = _overflow_visibility(
-                setup, info, z0, i0, width=width, height=height,
+                rec_fn, info, z0, i0, width=width, height=height,
                 y_start=y_start, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
                 ov_len=ov_len, interpret=interpret)
             tid_p = jnp.pad(id_ov, ((0, pad_h), (0, pad_w)),
                             constant_values=-1) if (pad_h or pad_w) else id_ov
             gb_ov = _overflow_gbuffer(
-                setup, info, table, poison, tid_p,
+                info, table, poison, tid_p,
                 jnp.zeros((a, height, width), jnp.float32), width=width,
                 height=height, y_start=y_start, tile_h=tile_h,
                 tile_w=tile_w, chunk=chunk, ov_len=ov_len,

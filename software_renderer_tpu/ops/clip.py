@@ -49,15 +49,16 @@ _TRI2_VALID = [False, True, True, False, True, False, False, False]
 def transform_corners_clip(corners, transform):
     """Model-space corners [T, 3, 3] -> clip space [T, 3, 4] (no divide).
 
-    Same matmul contract as ops/vertex.py transform_vertices: full-f32
-    precision because the result feeds exact coverage math.
+    Evaluated as explicit per-component multiply-add chains — the SAME
+    association as the planar front-end (ops/frontend.py) and the numpy
+    oracle, so the clip path's case-0 (all-in-front pass-through) stays
+    bit-equal to the unclipped planar path.
     """
     m = transform.astype(jnp.float32)
-    t = corners.shape[0]
-    flat = corners.reshape(t * 3, 3)
-    clip = jnp.dot(flat, m.T[:3, :],
-                   precision=jax.lax.Precision.HIGHEST) + m[:, 3]
-    return clip.reshape(t, 3, 4)
+    x, y, z = corners[..., 0], corners[..., 1], corners[..., 2]
+    return jnp.stack(
+        [m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3]
+         for i in range(4)], axis=-1)
 
 
 def cull_behind_mask(clip, eps=CLIP_EPS):

@@ -121,10 +121,13 @@ def triangle_setup_from_corners(v, width, height,
 
     # Screen-space-linear depth plane (Shaders.metal:157 interpolates z with
     # the normalized weights): depth = sum_j w_j z_j, w_j = e_j / |D|.
-    z = jnp.stack([z1, z2, z3], axis=-1)  # [T, 3]
-    # Explicit multiply-sum (VPU, exact f32) — einsum would hit the MXU at
-    # bf16 default precision and quantize depth.
-    zplane = jnp.sum(coef * z[:, None, :], axis=-1) * inv_area[:, None]
+    # Explicit multiply-add chains (VPU, exact f32) in the same
+    # association as the planar front-end (ops/frontend.py) — einsum
+    # would hit the MXU at bf16 default precision and quantize depth.
+    zplane = jnp.stack(
+        [(a0 * z1 + a1 * z2 + a2 * z3) * inv_area,
+         (b0 * z1 + b1 * z2 + b2 * z3) * inv_area,
+         (c0 * z1 + c1 * z2 + c2 * z3) * inv_area], axis=-1)
 
     # Bounding box in pixel indices, clamped to the viewport. Replaces the
     # reference's roi_pass (Shaders.metal:89-114) without its unsigned-wrap

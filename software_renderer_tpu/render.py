@@ -32,8 +32,9 @@ import jax.numpy as jnp
 from .framebuffer import Framebuffer, CLEAR_COLOR
 from .models.mesh import Mesh
 from .ops import lines as lines_ops
+from .ops import frontend as fe
 from .ops.clip import (clip_near as clip_near_plane, compose_attrs,
-                       cull_behind_mask, transform_corners_clip)
+                       transform_corners_clip)
 from .ops.rasterize_ref import visibility_ref
 from .ops.setup import (triangle_setup, triangle_setup_from_corners,
                         TriangleSetup)
@@ -139,28 +140,53 @@ def render_triangles(rp: RenderPass, backend: str,
     y0 = 0 if y_start is None else y_start
     tris = mesh.triangles()
     # Corner gather in model space (transform-invariant: XLA hoists it out
-    # of frame loops), then one batched corner transform — kept in clip
-    # space so the near-plane guard sees w *before* the divide (the
-    # reference divides blindly, Shaders.metal:68).
+    # of frame loops). The default path runs the PLANAR front-end
+    # (ops/frontend.py): every per-triangle quantity stays a separate [T]
+    # column — the array [T, 3(, 3)] form pads its minor dim to 128 TPU
+    # lanes and measured 3.6 ms/frame at 1080p/100k vs 2.2 planar. All
+    # backends consume the same front-end values (to_setup re-packs them),
+    # so cross-backend coverage stays bit-equal. The near-plane-CLIP path
+    # keeps the array front-end: clipping rewrites corners in clip space
+    # (1 triangle -> up to 2), which is inherently corner-structured.
     corners = mesh.positions[tris]
-    clip_c = transform_corners_clip(corners, rp.transform)
     if rp.clip_near:
         # Exact near-plane clip: [T] -> [2T] triangles; new corners carry
         # barycentric weights for attribute composition below.
+        clip_c = transform_corners_clip(corners, rp.transform)
         clip_c, cbary, cvalid = clip_near_plane(clip_c)
+        w_c = clip_c[:, :, 3]
+        ndc = clip_c[:, :, :3] / jnp.where(w_c == 0.0, 1.0, w_c)[:, :, None]
+        t_out = ndc.shape[0]
+        screen_c = ndc_to_screen(ndc.reshape(t_out * 3, 3), rp.width,
+                                 rp.height).reshape(t_out, 3, 3)
+        setup = triangle_setup_from_corners(
+            screen_c, rp.width, rp.height,
+            cull_backfaces=rp.cull_backfaces, extra_valid=cvalid)
+        ps = None
     else:
-        cbary, cvalid = None, cull_behind_mask(clip_c)
-    w_c = clip_c[:, :, 3]
-    ndc = clip_c[:, :, :3] / jnp.where(w_c == 0.0, 1.0, w_c)[:, :, None]
-    t_out = ndc.shape[0]
-    screen_c = ndc_to_screen(ndc.reshape(t_out * 3, 3), rp.width,
-                             rp.height).reshape(t_out, 3, 3)
-    setup = triangle_setup_from_corners(screen_c, rp.width, rp.height,
-                                        cull_backfaces=rp.cull_backfaces,
-                                        extra_valid=cvalid)
+        cbary = None
+        ps = fe.planar_front(fe.corner_cols(corners), rp.transform,
+                             rp.width, rp.height,
+                             cull_backfaces=rp.cull_backfaces)
+        setup = None   # materialized lazily for the non-binned backends
+        w_c = None     # ditto (fe.corner_w)
+
+    def get_setup():
+        nonlocal setup
+        if setup is None:
+            setup = fe.to_setup(ps)
+        return setup
+
+    def get_w_c():
+        nonlocal w_c
+        if w_c is None:
+            w_c = fe.corner_w(ps)
+        return w_c
+
     if backend == "auto":
-        backend = ("binned" if setup.num_triangles >= AUTO_BIN_THRESHOLD
-                   else "pallas")
+        backend = ("binned"
+                   if (ps if ps is not None else setup).num_triangles
+                   >= AUTO_BIN_THRESHOLD else "pallas")
     rp = dataclasses.replace(rp, height=out_h)
     normal_matrix = None
     if rp.model is not None:
@@ -193,25 +219,52 @@ def render_triangles(rp: RenderPass, backend: str,
         # past the budget still render via the overflow waves).
         budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (
-            finish_fused, fused_epilogue, fused_output_channels,
-            shade_gbuffer, shading_params)
+            attribute_channels, finish_fused, fused_epilogue,
+            fused_output_channels, shade_gbuffer, shading_params)
 
         has_light = rp.light is not None and mesh.normals is not None
-        # Bake the normal matrix into the per-vertex normals (linear, so it
-        # commutes with plane interpolation) — the kernel epilogue then
-        # normalizes/light the interpolated normal directly.
-        normals = mesh.normals
-        if normals is not None and normal_matrix is not None:
-            normals = normals @ normal_matrix.T
-        attrs, chans = gather_attribute_values(
-            rp.shading, tris, colors=mesh.colors, normals=normals,
-            uvs=mesh.uvs, has_light=has_light)
-        if rp.clip_near and attrs is not None:
-            attrs = compose_attrs(cbary, attrs)
+        if ps is not None:
+            # Planar attributes: per-corner [T] columns gathered in model
+            # space (transform-invariant — hoisted out of frame loops);
+            # normals rotate per frame as 9 FMA chains (gather/rotate
+            # commute exactly, so values match the array path's
+            # rotate-then-gather).
+            chans = attribute_channels(rp.shading, mesh.colors is not None,
+                                       has_light)
+            attrs = []
+            for name, _ in chans:
+                if name == "rgb":
+                    attrs += fe.attr_corner_cols(mesh.colors[tris])
+                elif name == "uv":
+                    attrs += fe.attr_corner_cols(mesh.uvs[tris])
+                elif name == "normal":
+                    nx, ny, nz = fe.attr_corner_cols(mesh.normals[tris])
+                    if normal_matrix is not None:
+                        nm = normal_matrix
+                        rot = lambda i: tuple(
+                            nm[i, 0] * nx[c] + nm[i, 1] * ny[c]
+                            + nm[i, 2] * nz[c] for c in range(3))
+                        nx, ny, nz = rot(0), rot(1), rot(2)
+                    attrs += [nx, ny, nz]
+            attrs = attrs or None
+            pipe_setup = ps
+        else:
+            # Array front-end (near-plane-clipped [2T] corner list): bake
+            # the normal matrix into the per-vertex normals (linear, so
+            # it commutes with plane interpolation).
+            normals = mesh.normals
+            if normals is not None and normal_matrix is not None:
+                normals = normals @ normal_matrix.T
+            attrs, chans = gather_attribute_values(
+                rp.shading, tris, colors=mesh.colors, normals=normals,
+                uvs=mesh.uvs, has_light=has_light)
+            if attrs is not None:
+                attrs = compose_attrs(cbary, attrs)
+            pipe_setup = setup
         if attrs is None:
             depth, tri_id, _ = binned_pipeline(
-                setup, None, width=rp.width, height=out_h, y_start=y0,
-                pair_budget_factor=budget)
+                get_setup(), None, width=rp.width, height=out_h,
+                y_start=y0, pair_budget_factor=budget)
             depth = jax.lax.stop_gradient(depth)
             tri_id = jax.lax.stop_gradient(tri_id)
             color = shade_gbuffer(None, tri_id != -1, shading=rp.shading,
@@ -233,10 +286,13 @@ def render_triangles(rp: RenderPass, backend: str,
             # XLA gather fallback.
             from .ops.shading import (perspective_epilogue,
                                       perspective_vertex_attrs)
-            attrs = perspective_vertex_attrs(attrs, w_c)
+            if ps is not None:
+                attrs = fe.perspective_chan_vals(attrs, ps)
+            else:
+                attrs = perspective_vertex_attrs(attrs, w_c)
             epilogue = _partial(perspective_epilogue, inner=epilogue)
         depth, tri_id, out = fused_pipeline(
-            setup, attrs, params, width=rp.width, height=out_h,
+            pipe_setup, attrs, params, width=rp.width, height=out_h,
             epilogue=epilogue, n_out=n_out, y_start=y0,
             pair_budget_factor=budget)
         # The fused kernel has no AD rule; appearance gradients (texture)
@@ -249,20 +305,20 @@ def render_triangles(rp: RenderPass, backend: str,
                              light=rp.light, texture=rp.texture)
         return Framebuffer(color=color, depth=depth)
 
-    depth, tri_id = _visibility(setup, rp, backend, y_start=y0)
+    depth, tri_id = _visibility(get_setup(), rp, backend, y_start=y0)
     # The visibility buffer is discrete (winner ids + hard z-test): gradients
     # flow through resolve/shading (appearance: colors, textures, lights),
     # not through coverage. Geometry gradients need a soft-coverage mode.
     depth = jax.lax.stop_gradient(depth)
     tri_id = jax.lax.stop_gradient(tri_id)
     color = shade(
-        setup, tri_id, tris,
+        get_setup(), tri_id, tris,
         shading=rp.shading,
         colors=mesh.colors, normals=mesh.normals, uvs=mesh.uvs,
         light=rp.light, texture=rp.texture,
         flat_color=rp.flat_color, normal_matrix=normal_matrix,
         y_start=y0,
-        w_tri=w_c if rp.perspective_correct else None,
+        w_tri=get_w_c() if rp.perspective_correct else None,
         corner_attrs=clipped_corner_attrs(),
     )
     return Framebuffer(color=color, depth=depth)

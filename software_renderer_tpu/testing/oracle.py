@@ -19,10 +19,22 @@ import numpy as np
 
 
 def oracle_vertex_stage(positions, transform, width, height):
-    """Shaders.metal:57-75 in float32 numpy."""
+    """Shaders.metal:57-75 in float32 numpy.
+
+    The matrix-vector product is evaluated as explicit per-component
+    multiply-add chains (m[i,0]*x + m[i,1]*y + m[i,2]*z + m[i,3]) — the
+    same association the reference's simd product uses and the same
+    expression the planar front-end (ops/frontend.py) evaluates on
+    device, so golden coverage comparisons stay exact. (numpy's `@`
+    blocks/reorders the f32 summation and differs from the chain by ulps,
+    which can flip a rounded pixel coordinate at a .5 boundary.)
+    """
     positions = np.asarray(positions, np.float32)
     m = np.asarray(transform, np.float32)
-    clip = positions @ m[:, :3].T + m[:, 3]  # [N, 4]
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    clip = np.stack(
+        [m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3]
+         for i in range(4)], axis=-1).astype(np.float32)
     w = clip[:, 3]
     ndc = (clip[:, :3].T / w).T.astype(np.float32)
     uv = ndc[:, :2] * np.array([0.5, -0.5], np.float32) + np.float32(0.5)
