@@ -123,6 +123,8 @@ class BinInfo:
     #   small arrays — too much to pay on spill-free frames) and process
     #   waves of ov_len, so nothing is ever dropped.
     n_overflow: jax.Array    # [] i32 total overflow triangles
+    group_band: jax.Array | None = None  # [cap//glen] i32 band-in-tile per
+    #   glen-record group (band-partitioned layout only; None when bands=1)
 
 
 def build_bins(setup: TriangleSetup, *, width: int, height: int,
@@ -130,7 +132,8 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                chunk: int = CHUNK, kmax: int = KMAX,
                overflow_cap: int = OVERFLOW_CAP,
                pair_budget_factor: float = PAIR_BUDGET_FACTOR,
-               prune: bool = False) -> BinInfo:
+               prune: bool = False, bands: int = 1,
+               glen: int = 16) -> BinInfo:
     """Build per-tile triangle lists from triangle bboxes.
 
     pair_budget_factor: static stream capacity, in units of T. The cap is
@@ -145,11 +148,30 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     [T, 3, 3] coefficient slices broadcast over the [T, kmax] emission
     measured +5 ms at 1080p/100k on v5e — re-enable once TriangleSetup
     carries planar edge columns (docs/PERF.md backlog).
+
+    bands: band-partitioned layout for the fused kernel. Each tile is
+    split into ``bands`` horizontal bands of tile_h/bands rows; pairs are
+    binned per (tile, band) and each tile's list is grouped by band in
+    ``glen``-record groups (BinInfo.group_band maps groups to bands), so
+    the kernel walks each record over a [band_h, tile_w] slab instead of
+    the whole tile — ~bands× less VPU work per record, paid for by the
+    taller-span pair growth (a triangle covering r rows of bands emits r
+    records per tile column). kmax is in (tile, band)-pair units when
+    bands > 1. Pixel results are bit-identical at any ``bands``: a pixel
+    belongs to exactly one band, and its band's list preserves ascending
+    triangle order, so the candidate sequence per pixel is unchanged.
     """
     t = setup.num_triangles
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
     ntiles = gh * gw
+    assert tile_h % bands == 0 and (tile_h // bands) % 8 == 0, (
+        f"bands={bands} must split tile_h={tile_h} into 8-row-aligned "
+        "slabs (Mosaic sublane alignment)")
+    assert chunk % glen == 0, (glen, chunk)
+    nbins = ntiles * bands
+    bh = tile_h // bands
+    gbands = gh * bands
 
     # Accepts the array TriangleSetup or the planar front-end's
     # PlanarSetup (ops/frontend.py) — the latter's bbox columns are
@@ -168,10 +190,12 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
         coef_col = lambda row, j: setup.coef[:, row, j]
     y0g = jnp.asarray(y_start, jnp.int32)
     # Tile span in this slice's tile grid (global rows shifted by y_start).
+    # With bands > 1 the vertical unit is a band row (bh = tile_h/bands);
+    # bands == 1 reduces to the plain tile grid.
     tx0 = bbx0 // tile_w
     tx1 = bbx1 // tile_w
-    ty0 = jnp.clip((bby0 - y0g) // tile_h, 0, gh - 1)
-    ty1 = jnp.clip((bby1 - y0g) // tile_h, 0, gh - 1)
+    ty0 = jnp.clip((bby0 - y0g) // bh, 0, gbands - 1)
+    ty1 = jnp.clip((bby1 - y0g) // bh, 0, gbands - 1)
     in_slice = (bby1 >= y0g) & (bby0 < y0g + gh * tile_h)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
@@ -199,7 +223,7 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     #    colmask[t, tx] — one tiny [gh, T] @ [T, gw] matmul on the MXU
     #    (f32 HIGHEST: counts < 2^24, exact). Replaces a full sort of the
     #    pair keys (a TPU sort has ~3 ms of fixed cost at any size).
-    rows = jnp.arange(gh, dtype=jnp.int32)
+    rows = jnp.arange(gbands, dtype=jnp.int32)
     cols = jnp.arange(gw, dtype=jnp.int32)
     rowmask = ((rows[None, :] >= ty0[:, None])
                & (rows[None, :] <= ty1[:, None])
@@ -208,18 +232,22 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                & (cols[None, :] <= tx1[:, None])).astype(jnp.float32)
     counts = jnp.dot(rowmask.T, colmask,
                      precision=jax.lax.Precision.HIGHEST
-                     ).astype(jnp.int32).reshape(ntiles)
+                     ).astype(jnp.int32)  # [gbands, gw]
+    if bands > 1:
+        # Reorder band-row-major -> (tile row, col, band): bins of one
+        # tile must be contiguous in key order so the kernel's chunk->tile
+        # output-block revisits stay consecutive (DMA elision).
+        counts = counts.reshape(gh, bands, gw).transpose(0, 2, 1)
+    counts = counts.reshape(nbins)
 
-    n_fill = ntiles * chunk
     pairs_cap = min(int(budget_pairs), -(-(t * kmax) // chunk) * chunk)
-    cap = pairs_cap + n_fill
     id_bits = (t + 1).bit_length()  # ids 0..t-1; t = filler sentinel
-    tile_bits = (ntiles + 2).bit_length()
+    tile_bits = (nbins + 2).bit_length()
     # Static-shape feasibility; callers check packed_keys_fit() and route
     # to the unbinned kernel instead of hitting this.
     assert id_bits + tile_bits <= 31, (
         f"scene too large for packed binning keys: {t} triangles over "
-        f"{ntiles} tiles needs {id_bits + tile_bits} bits")
+        f"{nbins} bins needs {id_bits + tile_bits} bits")
     tri_ids = jnp.arange(t, dtype=jnp.int32)
 
     if not prune:
@@ -246,11 +274,17 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
         live = (src >= 0) & (k < erow[:, 4])
         dx = jnp.where(live, k % jnp.maximum(erow[:, 3], 1), 0)
         dy = jnp.where(live, k // jnp.maximum(erow[:, 3], 1), 0)
-        tile_c = (erow[:, 2] + dy) * gw + (erow[:, 1] + dx)
-        keys_c = jnp.where(live, tile_c, ntiles + 1)
+        gb = erow[:, 2] + dy              # band row (== tile row, bands=1)
+        if bands > 1:
+            bin_c = ((gb // bands) * gw + (erow[:, 1] + dx)) * bands \
+                + gb % bands
+        else:
+            bin_c = gb * gw + (erow[:, 1] + dx)
+        keys_c = jnp.where(live, bin_c, nbins + 1)
         idpart = jnp.where(live, erow[:, 5], t)
         packed = (keys_c << id_bits) | idpart
     else:
+        assert bands == 1, "prune path does not support band partitioning"
         # 1'. Full [T, kmax] emission — kept for the exact tile-corner
         #    prune, which tests every pair against the triangle's edge
         #    functions (a pair-level test needs the pairs materialized).
@@ -297,20 +331,58 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     #    (keyed by their tile with the sentinel id, sorting right after
     #    the tile's real entries; the rest keyed past the tile sentinel)
     #    sort directly into the final padded layout.
-    pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
-    pad_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
+    group_band = None
+    if bands == 1:
+        n_fill = ntiles * chunk
+        cap = pairs_cap + n_fill
+        pad_counts = jnp.maximum(-(-counts // chunk), 1) * chunk
+        pad_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)[:-1]])
 
-    f = jnp.arange(n_fill, dtype=jnp.int32)
-    f_tile = f // chunk
-    f_active = (f % chunk) < (pad_counts - counts)[f_tile]
-    f_keys = jnp.where(f_active, f_tile, ntiles + 1)
-    f_packed = (f_keys << id_bits) | t
-    parts = [packed, f_packed]
-    n_all = packed.shape[0] + n_fill
-    if n_all < cap:  # tiny scenes: pad with sentinels so the slice fits
-        parts.append(jnp.full((cap - n_all,),
-                              (((ntiles + 1) << id_bits) | t), jnp.int32))
+        f = jnp.arange(n_fill, dtype=jnp.int32)
+        f_tile = f // chunk
+        f_active = (f % chunk) < (pad_counts - counts)[f_tile]
+        f_keys = jnp.where(f_active, f_tile, ntiles + 1)
+        f_packed = (f_keys << id_bits) | t
+        parts = [packed, f_packed]
+        n_all = packed.shape[0] + n_fill
+        if n_all < cap:  # tiny scenes: pad with sentinels so the slice fits
+            parts.append(jnp.full((cap - n_all,),
+                                  (((ntiles + 1) << id_bits) | t),
+                                  jnp.int32))
+    else:
+        # Two-level banded layout: each (tile, band) bin padded to a glen
+        # multiple (groups never span bins, so every glen group has ONE
+        # band id), then each tile's bin run padded to a chunk multiple
+        # (chunks never span tiles; every tile owns >= 1 chunk). Within a
+        # bin, fillers (sentinel id) sort after the real ids; the tile
+        # tail is keyed to the tile's LAST bin, so dead groups always
+        # follow live groups inside a chunk and the first-slot-is-real
+        # liveness arguments below carry over unchanged.
+        padded_bin = -(-counts // glen) * glen                 # [nbins]
+        tile_sum = padded_bin.reshape(ntiles, bands).sum(axis=1)
+        tile_padded = jnp.maximum(-(-tile_sum // chunk), 1) * chunk
+        tail = tile_padded - tile_sum                          # [ntiles]
+        bidx = jnp.arange(nbins, dtype=jnp.int32)
+        bin_layout = padded_bin + jnp.where(
+            bidx % bands == bands - 1, tail[bidx // bands], 0)
+        pad_counts = tile_padded
+        pad_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_padded)[:-1]])
+        n_fill1 = nbins * glen       # per-bin alignment (< glen per bin)
+        n_fill2 = ntiles * chunk     # per-tile tail (< chunk + min-chunk)
+        cap = pairs_cap + n_fill1 + n_fill2
+        f1 = jnp.arange(n_fill1, dtype=jnp.int32)
+        f1_bin = f1 // glen
+        f1_active = (f1 % glen) < (padded_bin - counts)[f1_bin]
+        f1_keys = jnp.where(f1_active, f1_bin, nbins + 1)
+        f2 = jnp.arange(n_fill2, dtype=jnp.int32)
+        f2_tile = f2 // chunk
+        f2_active = (f2 % chunk) < tail[f2_tile]
+        f2_keys = jnp.where(f2_active, f2_tile * bands + (bands - 1),
+                            nbins + 1)
+        parts = [packed, (f1_keys << id_bits) | t,
+                 (f2_keys << id_bits) | t]
     sorted2 = jnp.sort(jnp.concatenate(parts))[:cap]
 
     # Decode: real entries map back to their triangle, fillers to -1.
@@ -318,8 +390,18 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     # decode to -1 via the key check.
     s_id = sorted2 & ((1 << id_bits) - 1)
     s_key = sorted2 >> id_bits
-    ids = jnp.where((s_id < t) & (s_key < ntiles),
+    ids = jnp.where((s_id < t) & (s_key < nbins),
                     s_id, -1).astype(jnp.int32)
+    if bands > 1:
+        # Band id per glen group: resolve the group's first slot to its
+        # bin through the layout widths (tile tails fold into each tile's
+        # last bin, so this covers every slot in the padded layout).
+        bin_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(bin_layout)[:-1]])
+        gslots = jnp.arange(cap // glen, dtype=jnp.int32) * glen
+        group_bin = (jnp.searchsorted(bin_starts, gslots, side="right",
+                                      method="sort").astype(jnp.int32) - 1)
+        group_band = jnp.clip(group_bin, 0, nbins - 1) % bands
 
     # Chunk -> tile map + first-chunk flags (scalar prefetch for the
     # kernels' output BlockSpecs). Tail chunks (beyond the last used one)
@@ -347,7 +429,8 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     return BinInfo(ids=ids, chunk_tile=chunk_tile, first_flag=first_flag,
                    live_flag=live_flag, last_flag=last_flag,
                    overflow_mask=overflow,
-                   n_overflow=jnp.sum(overflow.astype(jnp.int32)))
+                   n_overflow=jnp.sum(overflow.astype(jnp.int32)),
+                   group_band=group_band)
 
 
 def live_first_permutation(live_flag: jax.Array):
@@ -398,15 +481,16 @@ def overflow_id_waves(info: BinInfo, ov_len: int) -> jax.Array:
 
 def packed_keys_fit(t: int, *, width: int, height: int,
                     tile_h: int = TILE_H, tile_w: int = TILE_W,
-                    chunk: int = CHUNK, kmax: int = KMAX) -> bool:
-    """Static check that the packed (tile, id) sort keys fit in int32 for
+                    chunk: int = CHUNK, kmax: int = KMAX,
+                    bands: int = 1) -> bool:
+    """Static check that the packed (bin, id) sort keys fit in int32 for
     this scene size; callers fall back to the unbinned kernel when they
     don't (~2M triangles at 1080p with the default tiles)."""
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
-    ntiles = gh * gw
+    nbins = gh * gw * bands
     id_bits = (t + 1).bit_length()
-    tile_bits = (ntiles + 2).bit_length()
+    tile_bits = (nbins + 2).bit_length()
     return id_bits + tile_bits <= 31
 
 
@@ -579,7 +663,8 @@ def _resolve_merge_kernel(ct_ref, ff_ref, cyc_ref, lv_ref, yoff_ref,
 
 
 def _fused_kernel(*all_refs, tile_h, tile_w, chunk, gw, n_channels,
-                  n_out, epilogue, seeded=False, sub=1, permuted=False):
+                  n_out, epilogue, seeded=False, sub=1, permuted=False,
+                  band_h=None, glen=None):
     """Fused visibility + G-buffer resolve + shading epilogue.
 
     One pass over the binned stream: each triangle's depth test and
@@ -606,10 +691,26 @@ def _fused_kernel(*all_refs, tile_h, tile_w, chunk, gw, n_channels,
     trailing HBM-space inputs (the XLA-cleared z/id buffers aliased to
     the outputs, never read here: unvisited tiles keep their clear
     values because the alias made the cleared input BE the output).
+
+    band_h/glen: band-partitioned walk — the stream is grouped into
+    glen-record groups that each touch ONE [band_h, tile_w] horizontal
+    slab of the tile (build_bins(bands=...)); an extra ``bd`` prefetch
+    ref (after lv) maps groups to bands. Each record's edge/depth/plane
+    math runs on its slab only (tile_h/band_h× less VPU work per
+    record); z/id/acc slabs are read and written through dynamic
+    8-row-aligned sublane slices. Bit-identical to the full-tile walk:
+    every pixel sees the same candidates in the same order.
     """
-    if permuted:
+    banded = band_h is not None and band_h != tile_h
+    if permuted and banded:
+        (_perm_ref, ct_ref, ff_ref, lv_ref, bd_ref, lf_ref, yoff_ref,
+         rec_ref, prm_ref, _z0_any, _id0_any, *refs) = all_refs
+    elif permuted:
         (_perm_ref, ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
          prm_ref, _z0_any, _id0_any, *refs) = all_refs
+    elif banded:
+        (ct_ref, ff_ref, lv_ref, bd_ref, lf_ref, yoff_ref, rec_ref,
+         prm_ref, *refs) = all_refs
     else:
         (ct_ref, ff_ref, lv_ref, lf_ref, yoff_ref, rec_ref,
          prm_ref, *refs) = all_refs
@@ -631,48 +732,80 @@ def _fused_kernel(*all_refs, tile_h, tile_w, chunk, gw, n_channels,
             acc_ref[:] = jnp.zeros((n_channels, tile_h, tile_w),
                                    jnp.float32)
 
-    xs, ys = _tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w)
+    def make_body(xs, ys):
+        def body(k, carry):
+            zbuf, idbuf, acc = carry
+            tri = rec_ref[k, 10].astype(jnp.int32)
+            e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
+            e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
+            e2 = rec_ref[k, 6] - e0 - e1
+            inside = jnp.logical_and(
+                jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
+            depth = rec_ref[k, 7] * xs + rec_ref[k, 8] * ys + rec_ref[k, 9]
+            cand = jnp.where(inside, depth, jnp.inf)
+            better = cand < zbuf  # ascending-id order => first wins ties
+            if seeded:
+                # Lex (depth, id): a seed can carry a LATER triangle at
+                # equal depth; poison entries (tri = -1, cand = +inf)
+                # never match uncovered seed pixels (idbuf = -1).
+                better = jnp.logical_or(
+                    better, jnp.logical_and(cand == zbuf, tri < idbuf))
+            acc = tuple(
+                jnp.where(better,
+                          rec_ref[k, REC_BASE + 3 * a] * xs
+                          + rec_ref[k, REC_BASE + 3 * a + 1] * ys
+                          + rec_ref[k, REC_BASE + 3 * a + 2],
+                          acc[a])
+                for a in range(n_channels))
+            return (jnp.where(better, cand, zbuf),
+                    jnp.where(better, tri, idbuf), acc)
 
-    def body(k, carry):
-        zbuf, idbuf, acc = carry
-        tri = rec_ref[k, 10].astype(jnp.int32)
-        e0 = rec_ref[k, 0] * xs + rec_ref[k, 2] * ys + rec_ref[k, 4]
-        e1 = rec_ref[k, 1] * xs + rec_ref[k, 3] * ys + rec_ref[k, 5]
-        e2 = rec_ref[k, 6] - e0 - e1
-        inside = jnp.logical_and(
-            jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
-        depth = rec_ref[k, 7] * xs + rec_ref[k, 8] * ys + rec_ref[k, 9]
-        cand = jnp.where(inside, depth, jnp.inf)
-        better = cand < zbuf  # ascending-id order => first wins ties
-        if seeded:
-            # Lex (depth, id): a seed can carry a LATER triangle at equal
-            # depth; poison entries (tri = -1, cand = +inf) never match
-            # uncovered seed pixels (idbuf = -1).
-            better = jnp.logical_or(
-                better, jnp.logical_and(cand == zbuf, tri < idbuf))
-        acc = tuple(
-            jnp.where(better,
-                      rec_ref[k, REC_BASE + 3 * a] * xs
-                      + rec_ref[k, REC_BASE + 3 * a + 1] * ys
-                      + rec_ref[k, REC_BASE + 3 * a + 2],
-                      acc[a])
-            for a in range(n_channels))
-        return (jnp.where(better, cand, zbuf),
-                jnp.where(better, tri, idbuf), acc)
+        return body
 
-    sublen = chunk // sub
-    for s in range(sub):
-        @pl.when(lv_ref[cc * sub + s] == 1)
-        def _work(s=s):
-            zbuf, idbuf, acc = jax.lax.fori_loop(
-                s * sublen, (s + 1) * sublen, body,
-                (z_ref[:], id_ref[:],
-                 tuple(acc_ref[a] for a in range(n_channels))),
-                unroll=sublen)
-            z_ref[:] = zbuf
-            id_ref[:] = idbuf
-            for a in range(n_channels):
-                acc_ref[a] = acc[a]
+    if banded:
+        # Per-group slab walk. Pixel coords must be bit-equal to the
+        # full-tile iota path: (slab iota + row0) is exact in f32 (small
+        # ints), so row r's coordinate rounds identically.
+        ngroups = chunk // glen
+        x0f = ((ct_ref[cc] % gw) * tile_w).astype(jnp.float32)
+        y0f = ((ct_ref[cc] // gw) * tile_h + yoff_ref[0]).astype(
+            jnp.float32)
+        xs_s = (jax.lax.broadcasted_iota(jnp.int32, (band_h, tile_w), 1)
+                .astype(jnp.float32) + (x0f + 0.5))
+        ys_i = jax.lax.broadcasted_iota(
+            jnp.int32, (band_h, tile_w), 0).astype(jnp.float32)
+        for s in range(ngroups):
+            @pl.when(lv_ref[cc * ngroups + s] == 1)
+            def _work(s=s):
+                row0 = bd_ref[cc * ngroups + s] * band_h
+                ys_s = (ys_i + row0.astype(jnp.float32)) + (y0f + 0.5)
+                body = make_body(xs_s, ys_s)
+                rs = pl.ds(row0, band_h)
+                zbuf, idbuf, acc = jax.lax.fori_loop(
+                    s * glen, (s + 1) * glen, body,
+                    (z_ref[rs, :], id_ref[rs, :],
+                     tuple(acc_ref[a, rs, :] for a in range(n_channels))),
+                    unroll=glen)
+                z_ref[rs, :] = zbuf
+                id_ref[rs, :] = idbuf
+                for a in range(n_channels):
+                    acc_ref[a, rs, :] = acc[a]
+    else:
+        body = make_body(
+            *_tile_coords(ct_ref[cc], yoff_ref[0], gw, tile_h, tile_w))
+        sublen = chunk // sub
+        for s in range(sub):
+            @pl.when(lv_ref[cc * sub + s] == 1)
+            def _work(s=s):
+                zbuf, idbuf, acc = jax.lax.fori_loop(
+                    s * sublen, (s + 1) * sublen, body,
+                    (z_ref[:], id_ref[:],
+                     tuple(acc_ref[a] for a in range(n_channels))),
+                    unroll=sublen)
+                z_ref[:] = zbuf
+                id_ref[:] = idbuf
+                for a in range(n_channels):
+                    acc_ref[a] = acc[a]
 
     @pl.when(lf_ref[cc] == 1)
     def _epilogue():
@@ -966,15 +1099,23 @@ def binned_pipeline(setup: TriangleSetup, attrs=None, *, width: int,
 # were worse still. The sub mechanism stays for future sweeps.
 FUSED_CHUNK = CHUNK
 FUSED_SUB = 1
+# Band partitioning (build_bins(bands=...)): tile_h/bands-row slabs per
+# record walk. Swept on v5e at 1080p/100k (docs/PERF.md round 3 step 15):
+# bands 4 / glen 16 = 16.97 ms fused-stage vs 19.51 full-tile control
+# (budget 0.85 vs 0.75); bands 8 loses (pair growth + per-record SMEM
+# scalar fetches stop amortizing), glen 8/32 and chunk 256 all lose.
+FUSED_BANDS = 4
+FUSED_GLEN = 16
 
 
 def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                    height: int, epilogue, n_out: int, y_start=0,
                    tile_h: int = TILE_H, tile_w: int = TILE_W,
-                   chunk: int | None = None, kmax: int = KMAX,
+                   chunk: int | None = None, kmax: int | None = None,
                    overflow_cap: int = OVERFLOW_CAP,
                    pair_budget_factor: float = PAIR_BUDGET_FACTOR,
                    prune: bool = False, sub: int | None = None,
+                   bands: int | None = None, glen: int | None = None,
                    interpret: bool | None = None):
     """Binned raster with fused shading: ONE kernel pass computes
     visibility, attribute planes, and the shading epilogue per tile.
@@ -1001,10 +1142,27 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         chunk = FUSED_CHUNK
     if sub is None:
         sub = FUSED_SUB
+    if bands is None:
+        bands = FUSED_BANDS
+    if bands > 1 and (tile_h % bands or (tile_h // bands) % 8):
+        bands = 1  # tile too short to split into 8-row-aligned slabs
+    if glen is None:
+        glen = FUSED_GLEN
+    if kmax is None:
+        # kmax gates spill per (tile, band) PAIR; band spans are bands×
+        # taller in band units, so scale the default to keep the same
+        # pixel-height spill threshold. Cheap: the compact emission never
+        # materializes [T, kmax] arrays.
+        kmax = KMAX * bands
     chunk = effective_chunk(chunk, interpret)
-    sub = min(sub, max(chunk // 32, 1))  # keep sub-segments >= 32 records
-    while chunk % sub:  # round non-divisor subs down to a divisor
-        sub -= 1
+    glen = min(glen, chunk)
+    banded = bands > 1
+    if banded:
+        sub = chunk // glen  # one live gate per band group
+    else:
+        sub = min(sub, max(chunk // 32, 1))  # keep segments >= 32 records
+        while chunk % sub:  # round non-divisor subs down to a divisor
+            sub -= 1
     # Polymorphic over the front-end layout: an array TriangleSetup with
     # [T, 3, A] attrs, or the planar front-end (ops/frontend.py) with
     # attrs = list over A of per-corner (v1, v2, v3) [T] column triplets.
@@ -1021,7 +1179,8 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         return jnp.stack(outs, axis=0)
 
     if not packed_keys_fit(t, width=width, height=height, tile_h=tile_h,
-                           tile_w=tile_w, chunk=chunk, kmax=kmax):
+                           tile_w=tile_w, chunk=chunk, kmax=kmax,
+                           bands=bands):
         # Static fallback: unbinned visibility + XLA gather resolve.
         from .rasterize_pallas import visibility_pallas
         from .resolve import barycentrics_at_pixels, interpolate_attribute
@@ -1039,7 +1198,8 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     info = build_bins(setup, width=width, height=height, y_start=y_start,
                       tile_h=tile_h, tile_w=tile_w, chunk=chunk, kmax=kmax,
                       overflow_cap=overflow_cap,
-                      pair_budget_factor=pair_budget_factor, prune=prune)
+                      pair_budget_factor=pair_budget_factor, prune=prune,
+                      bands=bands, glen=glen)
     if planar:
         table, _, poison = fe.stream_table_planar(
             setup, fe.attribute_plane_cols(setup, attrs))
@@ -1052,7 +1212,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
     pad_h, pad_w, gh, gw = _grid_geometry(width, height, tile_h, tile_w)
     n_chunks = stream.shape[0] // chunk
     yoff = jnp.asarray(y_start, jnp.int32).reshape(1)
-    tile_idx = lambda cc, ct, ff, lv, lf, yo: (ct[cc] // gw, ct[cc] % gw)
+    tile_idx = lambda cc, ct, *rest: (ct[cc] // gw, ct[cc] % gw)
     # Sub-chunk live flags (build_bins' live_flag is per layout chunk;
     # the kernel gates each chunk//sub segment independently — same
     # first-slot-is-real argument, sub-chunks never span tiles).
@@ -1086,24 +1246,27 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         ff_p = ((jj == 0) | (ct_p != jnp.roll(ct_p, 1))).astype(jnp.int32)
         lf_p = ((jj == n_live - 1)
                 | (ct_p != jnp.roll(ct_p, -1))).astype(jnp.int32)
-        lv_p = lv_sub[perm[:, None] * sub
-                      + jnp.arange(sub, dtype=jnp.int32)[None, :]
-                      ].reshape(-1)
+        gexp = (perm[:, None] * sub
+                + jnp.arange(sub, dtype=jnp.int32)[None, :]).reshape(-1)
+        lv_p = lv_sub[gexp]
         kernel = functools.partial(
             _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue,
-            seeded=False, sub=sub, permuted=True)
-        tile_idx_p = (lambda j, pm, ct, ff, lv, lf, yo:
+            seeded=False, sub=sub, permuted=True,
+            band_h=tile_h // bands if banded else None,
+            glen=glen if banded else None)
+        tile_idx_p = (lambda j, pm, ct, *rest:
                       (ct[j] // gw, ct[j] % gw))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,  # perm, ct, ff, lv, lf, y_off
+            # perm, ct, ff, lv, [bd,] lf, y_off
+            num_scalar_prefetch=7 if banded else 6,
             grid=(n_live,),
             in_specs=[
                 pl.BlockSpec((chunk, wtot),
-                             lambda j, pm, ct, ff, lv, lf, yo: (pm[j], 0),
+                             lambda j, pm, *rest: (pm[j], 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, prm.shape[1]),
-                             lambda j, pm, ct, ff, lv, lf, yo: (0, 0),
+                             lambda j, *rest: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # aliased z clear
                 pl.BlockSpec(memory_space=pl.ANY),  # aliased id clear
@@ -1115,7 +1278,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (n_out, tile_h, tile_w),
-                    lambda j, pm, ct, ff, lv, lf, yo:
+                    lambda j, pm, ct, *rest:
                     (0, ct[j] // gw, ct[j] % gw),
                     memory_space=pltpu.VMEM),
             ),
@@ -1125,17 +1288,22 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         z0 = jnp.full((height + pad_h, width + pad_w), jnp.inf,
                       jnp.float32)
         id0 = jnp.full((height + pad_h, width + pad_w), -1, jnp.int32)
+        pf = [perm, ct_p, ff_p, lv_p]
+        if banded:
+            pf.append(info.group_band[gexp])
+        pf += [lf_p, yoff]
+        npf = len(pf)
         depth, tri_id, out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
-            # Inputs count scalar-prefetch args: 6 prefetch + stream(6) +
-            # prm(7) + z0(8) + id0(9); outputs (depth, id, out).
-            input_output_aliases={8: 0, 9: 1},
+            # Inputs count scalar-prefetch args: npf prefetch + stream +
+            # prm + z0 + id0; outputs (depth, id, out).
+            input_output_aliases={npf + 2: 0, npf + 3: 1},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(perm, ct_p, ff_p, lv_p, lf_p, yoff, stream, prm, z0, id0)
+        )(*pf, stream, prm, z0, id0)
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])
 
@@ -1146,13 +1314,15 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         kernel = functools.partial(
             _fused_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk,
             gw=gw, n_channels=a, n_out=n_out, epilogue=epilogue,
-            seeded=seeded, sub=sub)
+            seeded=seeded, sub=sub,
+            band_h=tile_h // bands if banded else None,
+            glen=glen if banded else None)
         in_specs = [
             pl.BlockSpec((chunk, wtot),
-                         lambda cc, ct, ff, lv, lf, yo: (cc, 0),
+                         lambda cc, *rest: (cc, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, prm.shape[1]),
-                         lambda cc, ct, ff, lv, lf, yo: (0, 0),
+                         lambda cc, *rest: (0, 0),
                          memory_space=pltpu.SMEM),
         ]
         args = [stream, prm]
@@ -1164,13 +1334,18 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (a, tile_h, tile_w),
-                    lambda cc, ct, ff, lv, lf, yo:
+                    lambda cc, ct, *rest:
                     (0, ct[cc] // gw, ct[cc] % gw),
                     memory_space=pltpu.VMEM),
             ]
             args += list(seeds)
+        pf = [info.chunk_tile, info.first_flag, lv_sub]
+        if banded:
+            pf.append(info.group_band)
+        pf += [info.last_flag, yoff]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # ct, ff, lv, lf, y_off
+            # ct, ff, lv, [bd,] lf, y_off
+            num_scalar_prefetch=len(pf),
             grid=(n_chunks,),
             in_specs=in_specs,
             out_specs=(
@@ -1180,7 +1355,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (n_out, tile_h, tile_w),
-                    lambda cc, ct, ff, lv, lf, yo:
+                    lambda cc, ct, *rest:
                     (0, ct[cc] // gw, ct[cc] % gw),
                     memory_space=pltpu.VMEM),
             ),
@@ -1194,8 +1369,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(info.chunk_tile, info.first_flag, lv_sub,
-          info.last_flag, yoff, *args)
+        )(*pf, *args)
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])
 

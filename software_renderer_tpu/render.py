@@ -216,8 +216,16 @@ def render_triangles(rp: RenderPass, backend: str,
 
         # Culled scenes emit ~half the pairs; a smaller static stream
         # capacity shrinks the kernel grid and the dead-slot walk (spills
-        # past the budget still render via the overflow waves).
-        budget = 0.75 if rp.cull_backfaces else 1.5
+        # past the budget still render via the overflow waves). The band-
+        # partitioned layout (ops/binning.py FUSED_BANDS) emits one pair
+        # per (tile, band) — ~1.3-1.5x more pairs for the same scene, so
+        # its budget is scaled up; both points swept on v5e (docs/PERF.md
+        # round 3, step 15).
+        from .ops.binning import FUSED_BANDS
+        if FUSED_BANDS > 1:
+            budget = 1.0 if rp.cull_backfaces else 2.0
+        else:
+            budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (
             attribute_channels, finish_fused, fused_epilogue,
             fused_output_channels, shade_gbuffer, shading_params)

@@ -267,3 +267,48 @@ def test_bin_stream_invariants():
     for tile in np.unique(tile_of_entry):
         sel = ids[(tile_of_entry == tile) & valid]
         assert (np.diff(sel) > 0).all(), f"tile {tile} ids not ascending"
+
+def test_fused_banded_bit_equal():
+    # Band-partitioned layout + slab walk (build_bins(bands>1) +
+    # _fused_kernel band_h): bit-identical to the full-tile walk at every
+    # band count, including the SEEDED overflow variant (kmax=1 in band
+    # units spills every multi-band triangle) and a pair-budget spill.
+    # A pixel belongs to exactly one band and its band's list preserves
+    # ascending-id order, so the candidate sequence per pixel is
+    # unchanged — that is the claim this test pins down.
+    from functools import partial
+    from software_renderer_tpu.models import scenes
+    from software_renderer_tpu.ops.binning import fused_pipeline
+    from software_renderer_tpu.ops.setup import triangle_setup_from_corners
+    from software_renderer_tpu.ops.shading import (
+        fused_epilogue, fused_output_channels, gather_attribute_values,
+        shading_params)
+    from software_renderer_tpu.ops.vertex import corner_stage
+    w, h = 192, 128
+    rp = scenes.config2_textured_cube(0.7, width=w, height=h)
+    mesh = rp.mesh
+    tris = mesh.triangles()
+    sc, _ = corner_stage(mesh.positions[tris], rp.transform, w, h)
+    s = triangle_setup_from_corners(sc, w, h)
+    attrs, chans = gather_attribute_values(
+        rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+        uvs=mesh.uvs, has_light=rp.light is not None)
+    out_chans = fused_output_channels(rp.shading, chans,
+                                      rp.light is not None, True)
+    n_out = sum(sz for _, sz in out_chans)
+    params = shading_params(rp.light, flat_color=rp.flat_color)
+    epi = partial(fused_epilogue, chans=chans,
+                  has_light=rp.light is not None, has_texture=True)
+    run = lambda **kw: fused_pipeline(s, attrs, params, width=w, height=h,
+                                      epilogue=epi, n_out=n_out, **kw)
+    d0, i0, o0 = run(bands=1)
+    for kw in (dict(bands=2), dict(bands=8, glen=8),
+               dict(bands=2, kmax=1),              # seeded overflow
+               dict(bands=2, pair_budget_factor=0.05)):  # budget spill
+        d, i, o = run(**kw)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i),
+                                      err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d),
+                                      err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o),
+                                   atol=1e-4, err_msg=str(kw))

@@ -47,6 +47,8 @@ TILE_W = int(os.environ.get("PROF_TILE_W", "0")) or None
 CHUNK = int(os.environ.get("PROF_CHUNK", "0")) or None
 KMAX = int(os.environ.get("PROF_KMAX", "0")) or None
 BUDGET = float(os.environ.get("PROF_BUDGET", "0")) or None
+BANDS = int(os.environ.get("PROF_BANDS", "0")) or None
+GLEN = int(os.environ.get("PROF_GLEN", "0")) or None
 TEXTURED = os.environ.get("PROF_TEXTURED", "1") != "0"
 
 rp = scenes.config4_many_objects(0.0, width=W, height=H, triangles=TRIS,
@@ -67,6 +69,10 @@ if KMAX:
     kw["kmax"] = KMAX
 if BUDGET:
     kw["pair_budget_factor"] = BUDGET
+if BANDS:
+    kw["bands"] = BANDS
+if GLEN:
+    kw["glen"] = GLEN
 
 
 def transform_of(i):
