@@ -223,7 +223,7 @@ def render_triangles(rp: RenderPass, backend: str,
         # round 3, step 15).
         from .ops.binning import FUSED_BANDS
         if FUSED_BANDS > 1:
-            budget = 1.0 if rp.cull_backfaces else 2.0
+            budget = 0.85 if rp.cull_backfaces else 2.0
         else:
             budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (
