@@ -6,6 +6,15 @@ here the entire pipeline — vertex matmul, setup, Pallas visibility kernel,
 resolve, shading — is a pure function of the RenderPass pytree, so a batch
 of frames is literally ``jax.vmap(render)``. The Pallas kernel batches via
 its vmap rule (the batch axis becomes an extra grid dimension).
+
+Single-chip batching bound (measured, docs/PERF.md round 3): a TPU core
+executes one HLO at a time, so there is nothing to overlap frame N+1's
+bin build with — "batched" rendering on one chip IS scan-pipelining,
+which ``render_batch_chunked(vmap_chunk=1)`` does. Wide vmap is actively
+harmful at 1080p scale (vmap_chunk=4 measured 8.5x slower/frame: the
+batch grid dimension defeats Mosaic's same-block revisit DMA elision in
+the binned kernel). Batched throughput *scaling* is the multi-chip story
+(parallel/sharding.py shards frames/rows across devices).
 """
 
 from __future__ import annotations
