@@ -1106,6 +1106,9 @@ FUSED_SUB = 1
 # scalar fetches stop amortizing), glen 8/32 and chunk 256 all lose.
 FUSED_BANDS = 4
 FUSED_GLEN = 16
+# Below this triangle count the banded fill overhead outweighs the slab
+# walk (config1's 12-triangle cube measured 13% slower banded).
+FUSED_BANDS_MIN_T = 2048
 
 
 def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
@@ -1144,6 +1147,11 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         sub = FUSED_SUB
     if bands is None:
         bands = FUSED_BANDS
+        if setup.num_triangles < FUSED_BANDS_MIN_T:
+            # Tiny scenes: the per-(tile, band) glen fill dominates the
+            # slab-walk saving (config1 measured 0.86 -> 0.97 ms/frame
+            # banded); the full-tile walk is already sub-millisecond.
+            bands = 1
     if bands > 1 and (tile_h % bands or (tile_h // bands) % 8):
         bands = 1  # tile too short to split into 8-row-aligned slabs
     if glen is None:

@@ -223,7 +223,12 @@ def render_triangles(rp: RenderPass, backend: str,
         # round 3, step 15).
         from .ops.binning import FUSED_BANDS
         if FUSED_BANDS > 1:
-            budget = 0.85 if rp.cull_backfaces else 2.0
+            # No-cull 3.0 (not 2.0): the config3 teapot's banded pairs
+            # pass 2.0x from t ~ 2 s and spilled 15/21 bench samples —
+            # the per-frame seeded overflow waves cost 4.5x, while the
+            # larger static stream is noise at small T (measured, PERF.md
+            # round 3).
+            budget = 0.85 if rp.cull_backfaces else 3.0
         else:
             budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (

@@ -64,8 +64,20 @@ def bench_frame(fn, args_fn, *, name: str = "frame", triangles: int = 0,
     )
 
 
-def enable_compile_cache(path: str = "/root/repo/.jax_cache"):
-    """Persistent XLA compile cache (first tunnel compiles are minutes)."""
+def enable_compile_cache(path: str = None):
+    """Persistent XLA compile cache (first tunnel compiles are minutes).
+
+    The cache directory is per-platform: under axon, host-side XLA:CPU
+    compiles happen on the REMOTE tunnel machine, whose CPU features
+    differ from this host — loading such an AOT entry from a local CPU
+    process SIGSEGVs (cpu_aot_loader machine-feature mismatch). Keeping
+    cpu/ and axon/ entries separate makes the two runtimes never read
+    each other's executables (tests/conftest.py uses the cpu/ path).
+    """
+    if path is None:
+        import os
+        plat = os.environ.get("JAX_PLATFORMS", "axon") or "axon"
+        path = f"/root/repo/.jax_cache/{plat.split(',')[0]}"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     try:

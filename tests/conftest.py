@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: golden tests compile many distinct
 # (resolution, mesh-size) programs; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Per-platform cache subdir: axon's host-side compiles happen on the
+# remote tunnel machine and their AOT entries SIGSEGV when loaded by a
+# local CPU process (machine-feature mismatch) — never share the dir.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_enable_xla_caches",
                   "all")
