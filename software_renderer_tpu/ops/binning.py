@@ -1119,6 +1119,7 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
                    pair_budget_factor: float = PAIR_BUDGET_FACTOR,
                    prune: bool = False, sub: int | None = None,
                    bands: int | None = None, glen: int | None = None,
+                   permute: bool = True,
                    interpret: bool | None = None):
     """Binned raster with fused shading: ONE kernel pass computes
     visibility, attribute planes, and the shading epilogue per tile.
@@ -1381,7 +1382,9 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         return (depth[:height, :width], tri_id[:height, :width],
                 out[:, :height, :width])
 
-    fast = run_fused_permuted
+    # permute=False is a measurement knob (docs/PERF.md backlog #1):
+    # the static grid walks every chunk, dead ones included.
+    fast = run_fused_permuted if permute else (lambda _: run_fused(None))
 
     def slow_with(ov_len):
         # Overflow present (triangles spanning > kmax tiles or past the

@@ -49,6 +49,7 @@ KMAX = int(os.environ.get("PROF_KMAX", "0")) or None
 BUDGET = float(os.environ.get("PROF_BUDGET", "0")) or None
 BANDS = int(os.environ.get("PROF_BANDS", "0")) or None
 GLEN = int(os.environ.get("PROF_GLEN", "0")) or None
+STATIC_GRID = os.environ.get("PROF_STATIC_GRID", "0") == "1"
 TEXTURED = os.environ.get("PROF_TEXTURED", "1") != "0"
 
 rp = scenes.config4_many_objects(0.0, width=W, height=H, triangles=TRIS,
@@ -73,6 +74,8 @@ if BANDS:
     kw["bands"] = BANDS
 if GLEN:
     kw["glen"] = GLEN
+if STATIC_GRID:
+    kw["permute"] = False
 
 
 def transform_of(i):
