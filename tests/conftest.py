@@ -5,6 +5,34 @@ no tests; our strategy is numpy-oracle golden images + property tests +
 interpret-mode Pallas on CPU)."""
 
 import os
+import resource
+
+# XLA:CPU compiles interpret-mode Pallas kernels as one huge unrolled
+# function; LLVM's recursive passes overflow the default 8 MB main-thread
+# stack on the largest ones (observed: SIGSEGV inside
+# backend_compile_and_load on the banded fused kernel). Linux checks
+# RLIMIT_STACK at fault time, so raising it here (before any compile)
+# lets the main stack grow as needed.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+
+# Every JIT'd XLA:CPU executable mmaps several regions, and the full
+# suite loads thousands of them (8 virtual devices x interpret-mode
+# kernels) — measured ~65k maps at the default vm.max_map_count=65530,
+# at which point the NEXT executable load SIGSEGVs (mmap failure inside
+# the AOT loader). Raise the sysctl when we can (root container);
+# otherwise at least say why the suite may die near map exhaustion.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _maps = int(f.read())
+    if _maps < 1_000_000:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("4194304")
+except (OSError, PermissionError):
+    import warnings
+    warnings.warn(
+        "could not raise vm.max_map_count; the full suite maps ~65k+ "
+        "regions and may SIGSEGV at the default 65530 limit")
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: never run tests over the tunnel
 flags = os.environ.get("XLA_FLAGS", "")
