@@ -363,9 +363,6 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
         tile_sum = padded_bin.reshape(ntiles, bands).sum(axis=1)
         tile_padded = jnp.maximum(-(-tile_sum // chunk), 1) * chunk
         tail = tile_padded - tile_sum                          # [ntiles]
-        bidx = jnp.arange(nbins, dtype=jnp.int32)
-        bin_layout = padded_bin + jnp.where(
-            bidx % bands == bands - 1, tail[bidx // bands], 0)
         pad_counts = tile_padded
         pad_starts = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_padded)[:-1]])
@@ -393,15 +390,14 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     ids = jnp.where((s_id < t) & (s_key < nbins),
                     s_id, -1).astype(jnp.int32)
     if bands > 1:
-        # Band id per glen group: resolve the group's first slot to its
-        # bin through the layout widths (tile tails fold into each tile's
-        # last bin, so this covers every slot in the padded layout).
-        bin_starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(bin_layout)[:-1]])
+        # Band id per glen group, read straight off the group's FIRST
+        # slot's sorted key: groups never span bins, per-bin fillers carry
+        # their bin's key, tile-tail fillers are keyed to the tile's LAST
+        # bin (band bands-1), and global sentinels (key nbins+1, dead
+        # groups the lv gate skips) clip to bands-1 — so no layout-width
+        # searchsorted (a [nbins + cap/glen] merge-sort) is needed at all.
         gslots = jnp.arange(cap // glen, dtype=jnp.int32) * glen
-        group_bin = (jnp.searchsorted(bin_starts, gslots, side="right",
-                                      method="sort").astype(jnp.int32) - 1)
-        group_band = jnp.clip(group_bin, 0, nbins - 1) % bands
+        group_band = jnp.clip(s_key[gslots], 0, nbins - 1) % bands
 
     # Chunk -> tile map + first-chunk flags (scalar prefetch for the
     # kernels' output BlockSpecs). Tail chunks (beyond the last used one)

@@ -180,7 +180,7 @@ def _segment_compaction_maps(scov, cap: int):
 
 
 def sample_texture_planes_compacted(tex: Texture, u, v, covered,
-                                    cap_fracs=(0.35, 0.60)):
+                                    cap_fracs=(0.28, 0.35, 0.45, 0.60)):
     """Bilinear-sample only the *covered* row segments of the frame —
     equal per covered pixel (to one FMA-contraction ulp) to
     :func:`sample_texture_planes`.
@@ -203,7 +203,11 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     full-frame gather — measured FREE (8.33 vs 8.37 ms plain at 1080p),
     so high-coverage frames lose nothing. Measured at 33% segment
     coverage: 5.1 ms at cap 0.35, 6.1 ms at cap 0.45, vs 8.4 plain
-    (tools/measure_tex_wrapper.py). (Under vmap the conds become
+    (tools/measure_tex_wrapper.py). The default tier set matches the
+    north-star animation's coverage histogram
+    (tools/measure_segcov_fine.py: 16% of frames land in [0.22, 0.28),
+    27% in [0.35, 0.45)); tiers cost nothing when unused, so extra
+    levels only pay compile time. (Under vmap the conds become
     selects and every tier executes — batch callers should prefer
     scan-over-frames, as render_batch_chunked(vmap_chunk=1) does.)
 
