@@ -380,6 +380,17 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
                             nbins + 1)
         parts = [packed, (f1_keys << id_bits) | t,
                  (f2_keys << id_bits) | t]
+    # Chunk-align the layout capacity. n_fill1 = nbins*glen need not be a
+    # chunk multiple, and a floor(cap/chunk) grid would TRUNCATE the last
+    # partial chunk — in a fully-packed worst case (layout use == cap)
+    # that silently drops real records. Pad with global sentinels instead.
+    cap_aligned = -(-cap // chunk) * chunk
+    n_all = sum(p.shape[0] for p in parts)
+    if n_all < cap_aligned:
+        parts.append(jnp.full((cap_aligned - n_all,),
+                              (((nbins if bands > 1 else ntiles) + 1)
+                               << id_bits) | t, jnp.int32))
+    cap = cap_aligned
     sorted2 = jnp.sort(jnp.concatenate(parts))[:cap]
 
     # Decode: real entries map back to their triangle, fillers to -1.
@@ -1244,6 +1255,12 @@ def fused_pipeline(setup: TriangleSetup, attrs, params, *, width: int,
         unaliased — unvisited regions hold garbage, which is safe because
         every consumer masks it with ``tri_id != -1`` (finish_fused) and
         tri_id there is -1 by the alias.
+
+        (A permuted live-prefix TIERED stream gather — only live chunks'
+        rows materialized, texture-style cap tiers on the live-chunk
+        count — measured perf-NEUTRAL here and tripled the fused-path
+        compile variants, so the gather stays full-layout; see
+        docs/PERF.md round 3.)
         """
         perm, n_live = live_first_permutation(info.live_flag)
         ct_p = info.chunk_tile[perm]

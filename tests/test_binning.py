@@ -312,3 +312,42 @@ def test_fused_banded_bit_equal():
                                       err_msg=str(kw))
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o),
                                    atol=1e-4, err_msg=str(kw))
+
+
+def test_banded_unaligned_cap_bit_equal():
+    # Layout capacity NOT a chunk multiple: ntiles=3, bands=2 gives
+    # n_fill1 = 6 bins x glen 16 = 96, which is not a multiple of the
+    # interpret-mode chunk (64) — before the cap was chunk-aligned, the
+    # floor(cap/chunk) grid silently truncated the last partial chunk
+    # (at 1080p production sizes: 64 slots that can hold real records
+    # in a fully-packed layout). Banded must stay bit-equal to full-tile.
+    from functools import partial
+    from software_renderer_tpu.models import scenes
+    from software_renderer_tpu.ops.binning import fused_pipeline
+    from software_renderer_tpu.ops.setup import triangle_setup_from_corners
+    from software_renderer_tpu.ops.shading import (
+        fused_epilogue, fused_output_channels, gather_attribute_values,
+        shading_params)
+    from software_renderer_tpu.ops.vertex import corner_stage
+    w, h = 384, 128
+    rp = scenes.config2_textured_cube(0.9, width=w, height=h)
+    mesh = rp.mesh
+    tris = mesh.triangles()
+    sc, _ = corner_stage(mesh.positions[tris], rp.transform, w, h)
+    s = triangle_setup_from_corners(sc, w, h)
+    attrs, chans = gather_attribute_values(
+        rp.shading, tris, colors=mesh.colors, normals=mesh.normals,
+        uvs=mesh.uvs, has_light=rp.light is not None)
+    out_chans = fused_output_channels(rp.shading, chans,
+                                      rp.light is not None, True)
+    n_out = sum(sz for _, sz in out_chans)
+    params = shading_params(rp.light, flat_color=rp.flat_color)
+    epi = partial(fused_epilogue, chans=chans,
+                  has_light=rp.light is not None, has_texture=True)
+    run = lambda **kw: fused_pipeline(s, attrs, params, width=w, height=h,
+                                      epilogue=epi, n_out=n_out, **kw)
+    d0, i0, o0 = run(bands=1)
+    d, i, o = run(bands=2)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d))
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o), atol=1e-4)
