@@ -29,6 +29,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .clip import CLIP_EPS
 from .setup import TriangleSetup
@@ -80,30 +81,34 @@ def attr_corner_cols(values):
             for i in range(a)]
 
 
-def planar_front(corners_c, transform, width, height, *,
-                 cull_backfaces: bool = False, front_face_ccw: bool = True,
-                 near_eps: float = CLIP_EPS,
-                 extra_valid=None) -> PlanarSetup:
-    """Vertex transform + triangle setup, fully planar.
+def _front_math(corners_c, mm, width, height, *,
+                cull_backfaces: bool, front_face_ccw: bool,
+                near_eps: float, extra_valid):
+    """The planar_front math body over ANY elementwise value shape.
 
-    corners_c: per-corner ((x, y, z)) [T] column triplets from
-      :func:`corner_cols`.
-    Semantics: ops/vertex.py (clip = M v; ndc = xyz/w; uv y-flip; pixel
-    round-half-away) + ops/setup.py (sign-folded exact edge functions,
-    depth plane, clamped bbox, validity fills) + render.py's default
-    near-plane guard (all corner w > eps — the reference divides blindly,
-    Shaders.metal:68, and rasterizes garbage for eye-plane triangles).
+    Shared verbatim by the XLA path (:func:`planar_front`, [T] columns)
+    and the Pallas front-end kernel (:func:`planar_front_pallas`,
+    [rows, 128] blocks) so both produce bit-identical values by
+    construction — one traced op sequence, two compilers (the fused
+    raster kernel's in-kernel edge chains already match XLA bit-exactly
+    on hardware, tools/tpu_gate.py).
+
+    corners_c: three (X, Y, Z) value triplets; mm: the 16 transform
+    scalars row-major. Returns a 23-tuple of f32/bool values:
+    (a0,a1,a2, b0,b1,b2, c0,c1,c2, zx,zy,zc, abs_d, inv_area, area2,
+     bx0f,by0f,bx1f,by1f [f32 exact ints], valid [bool], w1,w2,w3).
     """
-    m = transform.astype(jnp.float32)
-    wf = jnp.float32(width)
-    hf = jnp.float32(height)
+    # numpy literals, not jnp scalars: the Pallas kernel shares this body
+    # and captured jax-array constants are rejected by pallas_call.
+    wf = np.float32(width)
+    hf = np.float32(height)
     xs, ys, zs, ws = [], [], [], []
     near_ok = None
     for (X, Y, Z) in corners_c:
-        cx = m[0, 0] * X + m[0, 1] * Y + m[0, 2] * Z + m[0, 3]
-        cy = m[1, 0] * X + m[1, 1] * Y + m[1, 2] * Z + m[1, 3]
-        cz = m[2, 0] * X + m[2, 1] * Y + m[2, 2] * Z + m[2, 3]
-        cw = m[3, 0] * X + m[3, 1] * Y + m[3, 2] * Z + m[3, 3]
+        cx = mm[0] * X + mm[1] * Y + mm[2] * Z + mm[3]
+        cy = mm[4] * X + mm[5] * Y + mm[6] * Z + mm[7]
+        cz = mm[8] * X + mm[9] * Y + mm[10] * Z + mm[11]
+        cw = mm[12] * X + mm[13] * Y + mm[14] * Z + mm[15]
         ok = cw > near_eps
         near_ok = ok if near_ok is None else (near_ok & ok)
         wg = jnp.where(cw == 0.0, 1.0, cw)  # render.py's divide guard
@@ -149,11 +154,13 @@ def planar_front(corners_c, transform, width, height, *,
     max_y = jnp.maximum(jnp.maximum(y1, y2), y3)
     offscreen = ((max_x < 0.0) | (min_x > wf) | (max_y < 0.0)
                  | (min_y > hf))
+    # Bbox kept f32 here (exact small ints — the casts happen at the
+    # caller so the Pallas kernel's output blocks stay single-dtype).
     clean = lambda a: jnp.where(jnp.isfinite(a), a, 0.0)
-    bx0 = jnp.clip(clean(jnp.floor(min_x)), 0, width - 1).astype(jnp.int32)
-    by0 = jnp.clip(clean(jnp.floor(min_y)), 0, height - 1).astype(jnp.int32)
-    bx1 = jnp.clip(clean(jnp.ceil(max_x)), 0, width - 1).astype(jnp.int32)
-    by1 = jnp.clip(clean(jnp.ceil(max_y)), 0, height - 1).astype(jnp.int32)
+    bx0 = jnp.clip(clean(jnp.floor(min_x)), 0, width - 1)
+    by0 = jnp.clip(clean(jnp.floor(min_y)), 0, height - 1)
+    bx1 = jnp.clip(clean(jnp.ceil(max_x)), 0, width - 1)
+    by1 = jnp.clip(clean(jnp.ceil(max_y)), 0, height - 1)
 
     valid = ~degenerate & ~offscreen & near_ok
     if extra_valid is not None:
@@ -164,7 +171,7 @@ def planar_front(corners_c, transform, width, height, *,
 
     # Invalid fills (ops/setup.py:152-158): e = (-1,-1,-1) via the const
     # columns, depth plane -> +inf, inv_area -> 0.
-    fneg = jnp.float32(-1.0)
+    fneg = np.float32(-1.0)
     a0 = jnp.where(valid, a0, 0.0)
     a1 = jnp.where(valid, a1, 0.0)
     a2 = jnp.where(valid, a2, 0.0)
@@ -178,11 +185,59 @@ def planar_front(corners_c, transform, width, height, *,
     zy = jnp.where(valid, zy, 0.0)
     zc = jnp.where(valid, zc, jnp.inf)
     inv_area = jnp.where(valid, inv_area, 0.0)
+    return (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc,
+            abs_d * valid, inv_area, d, bx0, by0, bx1, by1, valid,
+            ws[0], ws[1], ws[2])
+
+
+# Route planar_front through the Pallas FE kernel at or above this
+# triangle count (auto mode). Below it the XLA fusion is already fast
+# and the kernel's block padding dominates.
+PALLAS_FE_MIN_T = 4096
+
+
+def planar_front(corners_c, transform, width, height, *,
+                 cull_backfaces: bool = False, front_face_ccw: bool = True,
+                 near_eps: float = CLIP_EPS,
+                 extra_valid=None, pallas: bool | None = None) -> PlanarSetup:
+    """Vertex transform + triangle setup, fully planar.
+
+    corners_c: per-corner ((x, y, z)) [T] column triplets from
+      :func:`corner_cols`.
+    Semantics: ops/vertex.py (clip = M v; ndc = xyz/w; uv y-flip; pixel
+    round-half-away) + ops/setup.py (sign-folded exact edge functions,
+    depth plane, clamped bbox, validity fills) + render.py's default
+    near-plane guard (all corner w > eps — the reference divides blindly,
+    Shaders.metal:68, and rasterizes garbage for eye-plane triangles).
+
+    pallas: None = auto (the single-pass Pallas kernel for T >=
+    PALLAS_FE_MIN_T — the ~200-op XLA chain measured 1.9 ms/frame at
+    100k tris on v5e while moving ~13 MB; the kernel is one pass). The
+    kernel evaluates the SAME traced math (:func:`_front_math`), so
+    results are bit-identical (tests/test_frontend.py).
+    """
+    t = corners_c[0][0].shape[0]
+    if pallas is None:
+        pallas = t >= PALLAS_FE_MIN_T and extra_valid is None
+    if pallas:
+        from .frontend_kernel import planar_front_pallas
+        return planar_front_pallas(
+            corners_c, transform, width, height,
+            cull_backfaces=cull_backfaces, front_face_ccw=front_face_ccw,
+            near_eps=near_eps, extra_valid=extra_valid)
+    m = transform.astype(jnp.float32)
+    mm = tuple(m[i, j] for i in range(4) for j in range(4))
+    (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc, abs_d, inv_area,
+     area2, bx0f, by0f, bx1f, by1f, valid, w1, w2, w3) = _front_math(
+        corners_c, mm, width, height, cull_backfaces=cull_backfaces,
+        front_face_ccw=front_face_ccw, near_eps=near_eps,
+        extra_valid=extra_valid)
     return PlanarSetup(
         a0=a0, a1=a1, a2=a2, b0=b0, b1=b1, b2=b2, c0=c0, c1=c1, c2=c2,
-        zx=zx, zy=zy, zc=zc, abs_d=abs_d * valid, inv_area=inv_area,
-        area2=d, bx0=bx0, by0=by0, bx1=bx1, by1=by1, valid=valid,
-        w1=ws[0], w2=ws[1], w3=ws[2])
+        zx=zx, zy=zy, zc=zc, abs_d=abs_d, inv_area=inv_area,
+        area2=area2, bx0=bx0f.astype(jnp.int32), by0=by0f.astype(jnp.int32),
+        bx1=bx1f.astype(jnp.int32), by1=by1f.astype(jnp.int32),
+        valid=valid, w1=w1, w2=w2, w3=w3)
 
 
 def to_setup(ps: PlanarSetup) -> TriangleSetup:

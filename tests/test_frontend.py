@@ -114,3 +114,39 @@ def test_binned_planar_matches_reference_backend(persp):
     np.testing.assert_array_equal(db[fin], dr[fin])
     np.testing.assert_allclose(np.asarray(fb_b.color), np.asarray(fb_r.color),
                                atol=2e-4)
+
+
+def test_pallas_fe_kernel_bit_equals_xla_planar_front():
+    """The Pallas FE kernel (ops/frontend_kernel.py) must reproduce the
+    XLA planar_front bit-for-bit INSIDE jit (production always jits;
+    eager XLA skips the mul+add contraction jit applies, so eager-vs-jit
+    is the wrong comparison — see frontend._front_math docstring)."""
+    import dataclasses as dc
+    rng = np.random.default_rng(11)
+    t = 9000  # above PALLAS_FE_MIN_T and a non-multiple of the block
+    corners = rng.uniform(-1.5, 1.5, size=(t, 3, 3)).astype(np.float32)
+    corners[5] = corners[5][0]       # degenerate (zero area)
+    corners[17, :, 2] = -5.0         # behind the near plane
+    corners[33] = np.inf             # non-finite
+    m = np.eye(4, dtype=np.float32)
+    m[3, 2] = 1.0
+    cc = fe.corner_cols(jnp.asarray(corners))
+
+    def run(pallas):
+        f = jax.jit(lambda cc, m: fe.planar_front(
+            cc, m, 320, 200, cull_backfaces=True, pallas=pallas))
+        return f(cc, jnp.asarray(m))
+
+    ps_x, ps_p = run(False), run(True)
+    assert ps_p.num_triangles == t
+    for f in [x.name for x in dc.fields(ps_x)]:
+        a, b = np.asarray(getattr(ps_x, f)), np.asarray(getattr(ps_p, f))
+        assert a.dtype == b.dtype and a.shape == b.shape, f
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_pallas_fe_auto_threshold_routes_small_scenes_to_xla():
+    corners, m, w, h = _random_scene(seed=7)  # 97 tris < PALLAS_FE_MIN_T
+    ps = _planar(corners, m, w, h)            # must not touch pallas
+    assert ps.num_triangles == 97
+    assert fe.PALLAS_FE_MIN_T > 97
