@@ -78,8 +78,13 @@ def spans(time):
         thi = np.minimum(np.where(phi >= 0, phi // TILE_W, -1), tx1)
         w = np.where(act, np.maximum(thi - tlo + 1, 0), 0)
         nspan_exact += w
+    # Both totals over ONE common subset (the bbox-binned triangles
+    # `small`) so the printed ratio is apples-to-apples: a triangle that
+    # overflows the bbox emission but fits exactly must not inflate only
+    # the exact-side total (round-3 advisor finding). Production would
+    # bin by the bbox test, so `small` is the operative population.
     small_e = valid & (nspan_exact <= KMAX) & (span_h <= KMAX)
-    return (int(nspan_bbox[small].sum()), int(nspan_exact[small_e].sum()),
+    return (int(nspan_bbox[small].sum()), int(nspan_exact[small].sum()),
             int(small.sum()), int(small_e.sum()),
             int(nspan_bbox[small & multi].sum()),
             int(valid.sum()))
