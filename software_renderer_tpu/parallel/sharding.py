@@ -43,15 +43,23 @@ def make_mesh(n_frames: int, n_rows: int, devices=None) -> Mesh:
 
 def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
                   backend: str):
-    """Render this shard's frames' row slice. Runs inside shard_map."""
+    """Render this shard's frames' row slice. Runs inside shard_map.
+
+    Frames iterate via ``lax.scan``, NOT ``vmap``: vmapping a Pallas call
+    adds a batch grid dimension, which defeats Mosaic's same-block revisit
+    DMA elision in the banded fused kernel — measured 8.5x slower per
+    frame at 1080p (docs/PERF.md round 3). Scan pipelines frames on the
+    device exactly like the single-chip batch path
+    (parallel/batch.py render_batch_chunked(vmap_chunk=1))."""
     y0 = jax.lax.axis_index("rows") * rows_per_shard
 
-    def one(t):
+    def one(_, t):
         fb = render_rows(dataclasses.replace(rp, transform=t),
                          y_start=y0, rows=rows_per_shard, backend=backend)
-        return fb.color, fb.depth
+        return None, (fb.color, fb.depth)
 
-    return jax.vmap(one)(transforms_local)
+    _, (color, depth) = jax.lax.scan(one, None, transforms_local)
+    return color, depth
 
 
 def render_sharded(rp: RenderPass, transforms, mesh: Mesh,
@@ -85,7 +93,7 @@ def render_sharded(rp: RenderPass, transforms, mesh: Mesh,
 
 def texture_train_step(tex_data, rp: RenderPass, transforms, targets,
                        mesh: Mesh, lr: float = 0.5,
-                       backend: str = "reference"):
+                       backend: str = "auto"):
     """One SGD step on texture texels over a (frames, rows) mesh.
 
     Args:
@@ -96,6 +104,12 @@ def texture_train_step(tex_data, rp: RenderPass, transforms, targets,
 
     Returns (new_tex_data, loss). Gradients are psum-ed across the whole
     mesh — the only collective in the framework's hot loops.
+
+    backend: 'auto' (default) differentiates through the PRODUCTION fused
+    pipeline — texture gradients flow through finish_fused's gather (the
+    fused kernel's geometry outputs are stop_gradient'ed, which is fine
+    here: the loss is a function of texels only). Vertex-attribute or
+    light optimization needs backend='reference'/'pallas'.
     """
     n_rows = mesh.shape["rows"]
     rows_per = rp.height // n_rows

@@ -101,6 +101,55 @@ class RenderPass:
 AUTO_BIN_THRESHOLD = 0
 
 
+_FUSED_GRAD_MSG = (
+    "render(backend='auto'/'binned') is being differentiated w.r.t. "
+    "geometry/vertex-attribute/light inputs, but the fused pipeline stops "
+    "those gradients (they are returned as ZERO). Only texture gradients "
+    "flow on the fast path; use backend='pallas' or 'reference' for "
+    "vertex-attribute/light gradients.")
+
+
+def _stop_geometry_grads(fn, *inputs):
+    """Run ``fn(*inputs)`` with the inputs' gradients STOPPED — and warn.
+
+    The fused Pallas pipeline has no AD rule, so its geometry inputs
+    (triangle setup, attribute planes, shading params) must be isolated
+    from autodiff. A bare ``stop_gradient`` downstream is not enough:
+    under ``jax.grad`` the linearizer still pushes tangents INTO the
+    pallas_call (crashing with an internal assertion), and a user
+    differentiating geometry through default ``render`` would otherwise
+    get silent zeros (round-2 advisor finding). ``custom_vjp`` solves
+    both: reverse-mode AD never enters ``fn``, and the ``bwd`` rule is
+    traced ONLY when AD actually requests cotangents for these inputs —
+    i.e. exactly when the user differentiates geometry, not during
+    texture-only optimization (whose gradient flows through
+    finish_fused's gather, outside this region). The rule warns at trace
+    time and returns zeros. Forward-mode (jvp) over geometry raises
+    JAX's standard custom_vjp error, which names this function.
+    """
+    import warnings
+
+    import numpy as np
+
+    wrapped = jax.custom_vjp(fn)
+
+    def _fwd(*args):
+        return fn(*args), args
+
+    def _zero_ct(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    def _bwd(args, _ct):
+        warnings.warn(_FUSED_GRAD_MSG, stacklevel=2)
+        return tuple(jax.tree_util.tree_map(_zero_ct, a) for a in args)
+
+    wrapped.defvjp(_fwd, _bwd)
+    return wrapped(*inputs)
+
+
 def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str,
                 y_start=0):
     if backend == "auto":
@@ -275,11 +324,14 @@ def render_triangles(rp: RenderPass, backend: str,
                 attrs = compose_attrs(cbary, attrs)
             pipe_setup = setup
         if attrs is None:
-            depth, tri_id, _ = binned_pipeline(
-                get_setup(), None, width=rp.width, height=out_h,
-                y_start=y0, pair_budget_factor=budget)
-            depth = jax.lax.stop_gradient(depth)
-            tri_id = jax.lax.stop_gradient(tri_id)
+            def _vis_only(setup_in, y0_in):
+                d, i, _ = binned_pipeline(
+                    setup_in, None, width=rp.width, height=out_h,
+                    y_start=y0_in, pair_budget_factor=budget)
+                return d, i
+            # Geometry gradients stop HERE (with a trace-time warning if
+            # AD requests them) — see _stop_geometry_grads.
+            depth, tri_id = _stop_geometry_grads(_vis_only, get_setup(), y0)
             color = shade_gbuffer(None, tri_id != -1, shading=rp.shading,
                                   chans=chans, light=rp.light,
                                   texture=rp.texture,
@@ -304,16 +356,18 @@ def render_triangles(rp: RenderPass, backend: str,
             else:
                 attrs = perspective_vertex_attrs(attrs, w_c)
             epilogue = _partial(perspective_epilogue, inner=epilogue)
-        depth, tri_id, out = fused_pipeline(
-            pipe_setup, attrs, params, width=rp.width, height=out_h,
-            epilogue=epilogue, n_out=n_out, y_start=y0,
-            pair_budget_factor=budget)
-        # The fused kernel has no AD rule; appearance gradients (texture)
-        # flow through finish_fused's gather below, geometry/vertex-attr
-        # gradients need the 'reference'/'pallas' backends.
-        depth = jax.lax.stop_gradient(depth)
-        tri_id = jax.lax.stop_gradient(tri_id)
-        out = jax.lax.stop_gradient(out)
+        def _fused(setup_in, attrs_in, params_in, y0_in):
+            return fused_pipeline(
+                setup_in, attrs_in, params_in, width=rp.width, height=out_h,
+                epilogue=epilogue, n_out=n_out, y_start=y0_in,
+                pair_budget_factor=budget)
+
+        # The fused kernel has no AD rule; geometry/vertex-attr/light
+        # gradients stop HERE (with a trace-time warning if AD requests
+        # them — _stop_geometry_grads). Appearance gradients (texture)
+        # flow through finish_fused's gather below.
+        depth, tri_id, out = _stop_geometry_grads(
+            _fused, pipe_setup, attrs, params, y0)
         color = finish_fused(out, tri_id != -1, out_chans=out_chans,
                              light=rp.light, texture=rp.texture)
         return Framebuffer(color=color, depth=depth)

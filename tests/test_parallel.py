@@ -6,6 +6,7 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import software_renderer_tpu as sr
 from software_renderer_tpu.models import scenes
@@ -74,6 +75,48 @@ def test_sharded_render_8_devices():
                            context="8-device shard_map")
 
 
+def test_sharded_render_production_backend():
+    """The SHIPPED default path: render_sharded with backend='auto'
+    (-> the binned fused pipeline) under shard_map, frames scanned (never
+    vmapped — the banded Pallas kernel must not take a batch grid dim),
+    rows offset via a traced axis_index y_start. Cross-checked against
+    the independent reference backend, unsharded."""
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
+    mesh = make_mesh(2, 4)
+    rp = demo_rp()
+    transforms = batch_transforms(4)
+    fb = render_sharded(rp, transforms, mesh)  # shipped default: 'auto'
+    assert fb.color.shape == (4, 64, 64, 4)
+    fb_ref = render_batch(rp, transforms, backend="reference")
+    # Coverage must be bit-exact (one shared front-end; row sharding only
+    # shifts the viewport); color/depth up to the documented tie class.
+    np.testing.assert_array_equal(np.asarray(fb.color[..., 3]),
+                                  np.asarray(fb_ref.color[..., 3]))
+    assert_tie_class_equal(fb.color, fb_ref.color, fb.depth, fb_ref.depth,
+                           atol=2e-4,
+                           context="8-device shard_map, binned backend")
+
+
+def test_render_rows_binned_offset():
+    """render_rows on the PRODUCTION binned backend with y_start != 0 —
+    the per-shard configuration of render_sharded — against the same
+    rows of an unsharded binned frame."""
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
+    from software_renderer_tpu.render import render_rows
+    rp = demo_rp()
+    rp = dataclasses.replace(rp, transform=tf.reference_demo_transform(0.4))
+    full = sr.render(rp, backend="binned")
+    for y0, rows in ((32, 32), (16, 32)):
+        part = render_rows(rp, y_start=y0, rows=rows, backend="binned")
+        assert part.color.shape == (rows, 64, 4)
+        np.testing.assert_array_equal(
+            np.asarray(part.color[..., 3]),
+            np.asarray(full.color[y0:y0 + rows, :, 3]))
+        assert_tie_class_equal(part.color, full.color[y0:y0 + rows],
+                               part.depth, full.depth[y0:y0 + rows],
+                               context=f"binned render_rows y0={y0}")
+
+
 def test_tie_class_check_catches_row_shift():
     """The tie-class comparison must FAIL on an artificial 1-row shift —
     the injected-bug sensitivity a blanket <0.5% tolerance lacks."""
@@ -105,7 +148,45 @@ def test_tie_class_check_catches_row_shift():
                                context="injected 16px strip shift")
 
 
-def test_texture_train_step_decreases_loss():
+def test_fused_geometry_grad_warns_and_texture_grad_does_not():
+    """Differentiating default render w.r.t. GEOMETRY must emit the
+    trace-time zero-gradient warning (render._warn_fused_geometry_grads);
+    texture-only optimization through the same default path must stay
+    silent (its gradients really flow, via finish_fused's gather)."""
+    import warnings
+    rp = demo_rp(32, 32)
+    rp = dataclasses.replace(rp, transform=tf.reference_demo_transform(0.3))
+
+    def loss_geom(m):
+        fb = sr.render(dataclasses.replace(rp, transform=m))
+        return jnp.sum(fb.color)
+
+    with pytest.warns(UserWarning, match="stops those gradients"):
+        g = jax.grad(loss_geom)(rp.transform)
+    # The warned-about behavior: the geometry gradient really is zero.
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    rp2 = scenes.config2_textured_cube(0.3, width=32, height=32)
+    rp2 = dataclasses.replace(rp2, light=None)
+    from software_renderer_tpu.ops.texture import Texture
+
+    def loss_tex(tex_data):
+        fb = sr.render(dataclasses.replace(
+            rp2, texture=Texture(data=tex_data)))
+        return jnp.sum(fb.color)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        g_tex = jax.grad(loss_tex)(rp2.texture.data)
+    assert not any("stops those gradients" in str(w.message) for w in rec)
+    assert float(jnp.abs(g_tex).sum()) > 0.0  # texture grads DO flow
+
+
+@pytest.mark.parametrize("backend", ["reference", "auto"])
+def test_texture_train_step_decreases_loss(backend):
+    """'auto' is the shipped default: texture gradients through the
+    PRODUCTION fused pipeline (finish_fused's gather), scanned frames,
+    row-sharded, psum-ed over the mesh."""
     mesh = make_mesh(2, 4)
     rp = scenes.config2_textured_cube(0.3, width=32, height=32)
     rp = dataclasses.replace(rp, light=None)  # pure texture lookup
@@ -115,8 +196,8 @@ def test_texture_train_step_decreases_loss():
     # Start from a gray texture; one step must reduce loss.
     tex0 = jnp.full_like(rp.texture.data, 0.5)
     tex1, loss0 = texture_train_step(tex0, rp, transforms, targets, mesh,
-                                     lr=200.0)
+                                     lr=200.0, backend=backend)
     tex2, loss1 = texture_train_step(tex1, rp, transforms, targets, mesh,
-                                     lr=200.0)
+                                     lr=200.0, backend=backend)
     assert float(loss1) < float(loss0)
     assert np.isfinite(np.asarray(tex2)).all()
