@@ -201,7 +201,13 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
     span_h = ty1 - ty0 + 1
     nspan = span_w * span_h
     valid = setup.valid & in_slice
-    small = valid & (nspan <= kmax)
+    # Numerically UNSAFE triangles (coverage not provably inside the bbox
+    # — adversarial slivers with far-offscreen vertices, ops/setup.py
+    # coverage_safe) spill to the overflow kernels, which clamp coverage
+    # to the bbox per record; the hot fused walk then needs no per-record
+    # bbox test (safe triangles' coverage can't escape their emitted
+    # tiles by construction).
+    small = valid & (nspan <= kmax) & setup.safe
     # Pair budget: triangles whose cumulative pair demand exceeds the
     # budget spill to the overflow list (exact per-triangle prefix — the
     # matmul cumsum costs ~nothing, unlike the ~1.7 ms [T] jnp.cumsum the

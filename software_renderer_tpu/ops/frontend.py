@@ -58,6 +58,7 @@ class PlanarSetup:
     bx1: jax.Array; by1: jax.Array                   # bbox i32, clamped  # noqa: E702
     valid: jax.Array       # [T] bool
     w1: jax.Array; w2: jax.Array; w3: jax.Array      # clip w per corner  # noqa: E702
+    safe: jax.Array        # [T] bool — ops/setup.py coverage_safe
 
     @property
     def num_triangles(self) -> int:
@@ -88,15 +89,22 @@ def _front_math(corners_c, mm, width, height, *,
 
     Shared verbatim by the XLA path (:func:`planar_front`, [T] columns)
     and the Pallas front-end kernel (:func:`planar_front_pallas`,
-    [rows, 128] blocks) so both produce bit-identical values by
-    construction — one traced op sequence, two compilers (the fused
-    raster kernel's in-kernel edge chains already match XLA bit-exactly
-    on hardware, tools/tpu_gate.py).
+    [rows, 128] blocks) — one traced op sequence, two compilers. One
+    trace does NOT force bit equality everywhere: whether ``mul+add``
+    contracts into an FMA is a per-compiler, per-shape codegen decision.
+    On TPU, Mosaic and XLA:TPU agree and the hardware gate
+    (tools/tpu_gate.py check_fe_kernel) asserts full bit-equality; on
+    XLA:CPU hosts the edge/depth-plane CONSTANTS can differ by
+    contraction ulps (bounded by the plane scale —
+    testing/compare.py assert_fe_contraction_class) while every
+    coverage-critical field (edge gradients from exactly-rounded pixel
+    coordinates, bbox, validity) stays bit-exact.
 
     corners_c: three (X, Y, Z) value triplets; mm: the 16 transform
-    scalars row-major. Returns a 23-tuple of f32/bool values:
+    scalars row-major. Returns a 24-tuple of f32/bool values:
     (a0,a1,a2, b0,b1,b2, c0,c1,c2, zx,zy,zc, abs_d, inv_area, area2,
-     bx0f,by0f,bx1f,by1f [f32 exact ints], valid [bool], w1,w2,w3).
+     bx0f,by0f,bx1f,by1f [f32 exact ints], valid [bool], w1,w2,w3,
+     safe [bool — ops/setup.py coverage_safe]).
     """
     # numpy literals, not jnp scalars: the Pallas kernel shares this body
     # and captured jax-array constants are rejected by pallas_call.
@@ -185,9 +193,12 @@ def _front_math(corners_c, mm, width, height, *,
     zy = jnp.where(valid, zy, 0.0)
     zc = jnp.where(valid, zc, jnp.inf)
     inv_area = jnp.where(valid, inv_area, 0.0)
+    from .setup import coverage_safe
+    safe = coverage_safe(x1, y1, x2, y2, x3, y3, a0, b0, a1, b1,
+                         abs_d, width, height) | ~valid
     return (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc,
             abs_d * valid, inv_area, d, bx0, by0, bx1, by1, valid,
-            ws[0], ws[1], ws[2])
+            ws[0], ws[1], ws[2], safe)
 
 
 # Route planar_front through the Pallas FE kernel at or above this
@@ -213,8 +224,10 @@ def planar_front(corners_c, transform, width, height, *,
     pallas: None = auto (the single-pass Pallas kernel for T >=
     PALLAS_FE_MIN_T — the ~200-op XLA chain measured 1.9 ms/frame at
     100k tris on v5e while moving ~13 MB; the kernel is one pass). The
-    kernel evaluates the SAME traced math (:func:`_front_math`), so
-    results are bit-identical (tests/test_frontend.py).
+    kernel evaluates the SAME traced math (:func:`_front_math`);
+    equality is bit-exact on TPU (verified on hardware by
+    tools/tpu_gate.py check_fe_kernel) and contraction-class on CPU
+    (tests/test_frontend.py — see the :func:`_front_math` numerics note).
     """
     t = corners_c[0][0].shape[0]
     if pallas is None:
@@ -228,7 +241,7 @@ def planar_front(corners_c, transform, width, height, *,
     m = transform.astype(jnp.float32)
     mm = tuple(m[i, j] for i in range(4) for j in range(4))
     (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc, abs_d, inv_area,
-     area2, bx0f, by0f, bx1f, by1f, valid, w1, w2, w3) = _front_math(
+     area2, bx0f, by0f, bx1f, by1f, valid, w1, w2, w3, safe) = _front_math(
         corners_c, mm, width, height, cull_backfaces=cull_backfaces,
         front_face_ccw=front_face_ccw, near_eps=near_eps,
         extra_valid=extra_valid)
@@ -237,7 +250,7 @@ def planar_front(corners_c, transform, width, height, *,
         zx=zx, zy=zy, zc=zc, abs_d=abs_d, inv_area=inv_area,
         area2=area2, bx0=bx0f.astype(jnp.int32), by0=by0f.astype(jnp.int32),
         bx1=bx1f.astype(jnp.int32), by1=by1f.astype(jnp.int32),
-        valid=valid, w1=w1, w2=w2, w3=w3)
+        valid=valid, w1=w1, w2=w2, w3=w3, safe=safe)
 
 
 def to_setup(ps: PlanarSetup) -> TriangleSetup:
@@ -252,7 +265,8 @@ def to_setup(ps: PlanarSetup) -> TriangleSetup:
     zplane = jnp.stack([ps.zx, ps.zy, ps.zc], axis=-1)
     bbox = jnp.stack([ps.bx0, ps.by0, ps.bx1, ps.by1], axis=-1)
     return TriangleSetup(coef=coef, zplane=zplane, inv_area=ps.inv_area,
-                         bbox=bbox, valid=ps.valid, area2=ps.area2)
+                         bbox=bbox, valid=ps.valid, area2=ps.area2,
+                         safe=ps.safe)
 
 
 def corner_w(ps: PlanarSetup):

@@ -6,9 +6,12 @@ The planar XLA front-end (ops/frontend.py planar_front) is a chain of
 (tools/microbench_planar_split.py) — the cost is XLA's scheduling of a
 long thin elementwise chain, not arithmetic or bandwidth (the [wtot, T]
 stack + transpose after it measured FREE). This kernel runs the SAME
-traced math body (frontend._front_math — one source of truth, so the
-values are bit-identical by construction) as ONE Pallas pass over
-[BLOCK_ROWS, 128] column blocks.
+traced math body (frontend._front_math — one source of truth) as ONE
+Pallas pass over [BLOCK_ROWS, 128] column blocks. Equality with the XLA
+path is bit-exact on TPU (asserted on hardware by tools/tpu_gate.py
+check_fe_kernel) and contraction-class on CPU (FMA contraction is a
+per-compiler, per-shape codegen decision — see frontend._front_math's
+numerics note and tests/test_frontend.py).
 
 Reference parity: this is the TPU counterpart of the reference's vertex
 stage (renderer/Shaders.metal:57-76 vertex_shader + Renderer.swift:
@@ -28,12 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .clip import CLIP_EPS
 
 # Sublane rows per grid step; each block covers BLOCK_ROWS * 128
-# triangles. 64 rows x 128 lanes x (9 in + 23 out) f32 = ~1 MB of VMEM
+# triangles. 64 rows x 128 lanes x (9 in + 24 out) f32 = ~1 MB of VMEM
 # per step — small enough to double-buffer, large enough that the
 # per-step overhead (~5 us on v5e) amortizes.
 BLOCK_ROWS = 64
 LANES = 128
-N_OUT_ROWS = 23
+N_OUT_ROWS = 24
 
 
 def _fe_kernel(m_ref, x1, y1, z1, x2, y2, z2, x3, y3, z3, out_ref, *,
@@ -115,10 +118,10 @@ def planar_front_pallas(corners_c, transform, width, height, *,
 
     rows = [out[j].reshape(tp)[:t] for j in range(N_OUT_ROWS)]
     (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc, abs_d, inv_area,
-     area2, bx0f, by0f, bx1f, by1f, validf, w1, w2, w3) = rows
+     area2, bx0f, by0f, bx1f, by1f, validf, w1, w2, w3, safef) = rows
     return PlanarSetup(
         a0=a0, a1=a1, a2=a2, b0=b0, b1=b1, b2=b2, c0=c0, c1=c1, c2=c2,
         zx=zx, zy=zy, zc=zc, abs_d=abs_d, inv_area=inv_area, area2=area2,
         bx0=bx0f.astype(jnp.int32), by0=by0f.astype(jnp.int32),
         bx1=bx1f.astype(jnp.int32), by1=by1f.astype(jnp.int32),
-        valid=validf != 0.0, w1=w1, w2=w2, w3=w3)
+        valid=validf != 0.0, w1=w1, w2=w2, w3=w3, safe=safef != 0.0)

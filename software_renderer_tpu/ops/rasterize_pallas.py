@@ -163,6 +163,20 @@ def _visibility_kernel(yoff_ref, nlive_ref, rec_ref, *rest, tile_h, tile_w,
             e2 = rec_ref[k, 6] - e0 - e1  # exact (integer-scaled values)
             inside = jnp.logical_and(
                 jnp.logical_and(e0 >= 0.0, e1 >= 0.0), e2 >= 0.0)
+            # Coverage contract: clamp to the triangle's integer bbox
+            # (the oracle's / Metal's bbox-loop semantics). For
+            # numerically SAFE triangles (ops/setup.py coverage_safe)
+            # this is a provable no-op; for unsafe slivers — which the
+            # binned path routes HERE via the overflow waves — it stops
+            # rounding-shifted edges from covering pixels beyond the
+            # bbox (found by tests/test_fuzz.py).
+            inside = jnp.logical_and(
+                inside,
+                jnp.logical_and(
+                    jnp.logical_and(xs >= rec_ref[k, 10],
+                                    xs <= rec_ref[k, 12] + 1.0),
+                    jnp.logical_and(ys >= rec_ref[k, 11],
+                                    ys <= rec_ref[k, 13] + 1.0)))
             depth = (rec_ref[k, 7] * xs + rec_ref[k, 8] * ys
                      + rec_ref[k, 9])
             cand = jnp.where(inside, depth, jnp.inf)

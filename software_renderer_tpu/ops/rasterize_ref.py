@@ -60,20 +60,36 @@ def visibility_ref(setup: TriangleSetup, *, width: int, height: int,
         coef = coef.at[t:, 2, :].set(-1.0)
     zplane = jnp.pad(setup.zplane, ((0, pad), (0, 0)),
                      constant_values=jnp.inf)
+    abs_d = jnp.pad(jnp.abs(setup.area2), (0, pad))
+    # Empty pad bbox (x0 = 1 > x1 = 0) — pads never cover anyway (e < 0).
+    bbox = jnp.pad(setup.bbox.astype(jnp.float32), ((0, pad), (0, 0)))
 
     xs, ys = pixel_centers(width, height, y_start)
     n_chunks = coef.shape[0] // chunk
     coef_c = coef.reshape(n_chunks, chunk, 3, 3)
     zplane_c = zplane.reshape(n_chunks, chunk, 3)
+    absd_c = abs_d.reshape(n_chunks, chunk)
+    bbox_c = bbox.reshape(n_chunks, chunk, 4)
 
     def body(carry, inputs):
         zbuf, idbuf, base = carry
-        c, zp = inputs  # [chunk,3,3], [chunk,3]
-        # e_j(x, y) for all pixels and the chunk's triangles: [H, W, chunk, 3]
-        e = (xs[..., None, None] * c[:, 0, :]
-             + ys[..., None, None] * c[:, 1, :]
-             + c[:, 2, :])
-        inside = jnp.all(e >= 0.0, axis=-1)  # [H, W, chunk]
+        c, zp, ad, bb = inputs  # [chunk,3,3], [chunk,3], [chunk], [chunk,4]
+        # e0/e1 for all pixels and the chunk's triangles [H, W, chunk];
+        # e2 = |D| - e0 - e1 — the SAME derived form the Pallas kernels
+        # use and the algebra of the oracle's w2 = 1 - w0 - w1
+        # (Shaders.metal:152), not an independent third plane.
+        e0 = (xs[..., None] * c[:, 0, 0] + ys[..., None] * c[:, 1, 0]
+              + c[:, 2, 0])
+        e1 = (xs[..., None] * c[:, 0, 1] + ys[..., None] * c[:, 1, 1]
+              + c[:, 2, 1])
+        e2 = ad - e0 - e1
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)  # [H, W, chunk]
+        # Coverage contract: clamped to the integer bbox (the oracle's /
+        # Metal's bbox-loop semantics, Shaders.metal:130-134) — for
+        # numerically unsafe slivers (ops/setup.py coverage_safe) the
+        # rounding-shifted edges may pass the e-test beyond the bbox.
+        inside &= ((xs[..., None] >= bb[:, 0]) & (xs[..., None] <= bb[:, 2] + 1.0)
+                   & (ys[..., None] >= bb[:, 1]) & (ys[..., None] <= bb[:, 3] + 1.0))
         depth = (xs[..., None] * zp[:, 0] + ys[..., None] * zp[:, 1]
                  + zp[:, 2])
         cand = jnp.where(inside, depth, jnp.inf)
@@ -89,6 +105,7 @@ def visibility_ref(setup: TriangleSetup, *, width: int, height: int,
     zbuf0 = jnp.full((height, width), jnp.inf, jnp.float32)
     idbuf0 = jnp.full((height, width), NO_TRIANGLE, jnp.int32)
     (zbuf, idbuf, _), _ = jax.lax.scan(
-        body, (zbuf0, idbuf0, jnp.int32(0)), (coef_c, zplane_c)
+        body, (zbuf0, idbuf0, jnp.int32(0)), (coef_c, zplane_c, absd_c,
+                                              bbox_c)
     )
     return zbuf, idbuf

@@ -25,6 +25,18 @@ is simply ``all(e_i >= 0)`` (with sum(e_i) = |D| the upper bound is
 implied). Normalized quantities (barycentric weights for attribute
 interpolation, the screen-space depth plane of Shaders.metal:157) divide by
 |D| once per triangle here, not once per pixel in the kernel.
+
+The exactness premise breaks for triangles with FAR-OFFSCREEN vertices
+(products past 2^24 round) — for a near-degenerate sliver the rounded
+edge constants can then pass the inside test PIXELS beyond the true
+triangle, even outside the integer bbox (the perturbed edge lines'
+intersections move by ~err/sin(angle)). The coverage CONTRACT is the
+oracle's (and Metal's) bbox-clamped semantics, so :func:`coverage_safe`
+computes a conservative per-triangle certificate "perturbed coverage
+provably stays inside the bbox"; unsafe triangles (adversarial slivers —
+real scenes virtually never produce them, see the bound) are routed to
+the bbox-clamping overflow kernels by ops/binning.py, keeping the hot
+fused walk free of per-record bbox tests.
 """
 
 from __future__ import annotations
@@ -48,10 +60,79 @@ class TriangleSetup:
     bbox: jax.Array       # [T, 4] int32 — x0, y0, x1, y1 inclusive, clamped
     valid: jax.Array      # [T] bool — rasterize this triangle at all
     area2: jax.Array      # [T] float32 — 2x signed area D (screen space)
+    safe: jax.Array       # [T] bool — coverage provably inside bbox
+                          #   (:func:`coverage_safe`); False routes the
+                          #   triangle to the bbox-clamping overflow path
 
     @property
     def num_triangles(self) -> int:
         return self.coef.shape[0]
+
+
+# coverage_safe thresholds. EXACT_LIMIT: when every edge chain's partial
+# magnitudes stay below it, all products/sums are integers (or
+# half-integers at pixel centers) exactly representable in f32 — the
+# coverage math has ZERO rounding error and coverage is contained in the
+# rounded-corner hull, hence the bbox. ERR_SCALE: 8x the f32 epsilon,
+# slack for the <= 4-term chains when past the exact window.
+# SAFE_MARGIN: maximum tolerated perturbation of the covered region in
+# pixels; pixel centers outside the bbox are >= 0.5 px from the hull, so
+# 0.25 certifies with 2x margin.
+EXACT_LIMIT = 2.0 ** 21
+ERR_SCALE = 2.0 ** -20
+SAFE_MARGIN = 0.25
+
+
+def coverage_safe(x1, y1, x2, y2, x3, y3, a0, b0, a1, b1, abs_d,
+                  width, height):
+    """Per-triangle certificate: f32 coverage provably inside the bbox.
+
+    The inside test {e0 >= 0, e1 >= 0, |D| - e0 - e1 >= 0} describes the
+    triangle bounded by the three (rounded) edge lines. Each constant
+    c_j and each in-kernel evaluation carries at most ``err_j`` of
+    absolute rounding error (0 in the exact-integer window); an edge line
+    therefore shifts by at most ``err_j / ||grad_j||`` pixels, and an
+    edge-line INTERSECTION (a vertex of the covered region) moves by at
+    most ``(err_i ||g_j|| + err_j ||g_i||) / |cross(g_i, g_j)|`` with
+    ``|cross| = |D|`` — the sliver amplification. Coverage stays inside
+    the bbox when both stay under SAFE_MARGIN (< the 0.5 px gap between
+    the hull and the nearest out-of-bbox pixel center).
+
+    All args are [T] columns of ROUNDED screen coords / sign-folded edge
+    gradients. Returns [T] bool (False for non-finite inputs).
+    """
+    import numpy as np
+
+    wf = np.float32(width)
+    hf = np.float32(height)
+    one = np.float32(1.0)
+    tiny = np.float32(1e-30)
+    ax = jnp.maximum(jnp.abs(x3), wf) + one
+    ay = jnp.maximum(jnp.abs(y3), hf) + one
+    m0 = jnp.abs(a0) * ax + jnp.abs(b0) * ay
+    m1 = jnp.abs(a1) * ax + jnp.abs(b1) * ay
+    md = (jnp.abs(x1 - x3) * jnp.abs(y2 - y3)
+          + jnp.abs(x2 - x3) * jnp.abs(y1 - y3))
+    exact = (m0 + m1 + md) < np.float32(EXACT_LIMIT)
+    scale = np.float32(ERR_SCALE)
+    err0 = jnp.where(exact, 0.0, m0 * scale)
+    err1 = jnp.where(exact, 0.0, m1 * scale)
+    err2 = err0 + err1 + jnp.where(exact, 0.0, md * scale)
+    a2 = a0 + a1  # |a2| (sign-folded -(a0+a1) has the same magnitude)
+    b2 = b0 + b1
+    g0u = jnp.abs(a0) + jnp.abs(b0)   # >= ||g0||_2 (numerator bound)
+    g1u = jnp.abs(a1) + jnp.abs(b1)
+    g2u = jnp.abs(a2) + jnp.abs(b2)
+    g0l = jnp.maximum(jnp.maximum(jnp.abs(a0), jnp.abs(b0)), tiny)  # <= L2
+    g1l = jnp.maximum(jnp.maximum(jnp.abs(a1), jnp.abs(b1)), tiny)
+    g2l = jnp.maximum(jnp.maximum(jnp.abs(a2), jnp.abs(b2)), tiny)
+    e_shift = jnp.maximum(jnp.maximum(err0 / g0l, err1 / g1l), err2 / g2l)
+    dd = jnp.maximum(abs_d, tiny)
+    v_shift = jnp.maximum(
+        jnp.maximum(err0 * g1u + err1 * g0u, err0 * g2u + err2 * g0u),
+        err1 * g2u + err2 * g1u) / dd
+    margin = np.float32(SAFE_MARGIN)
+    return (e_shift <= margin) & (v_shift <= margin)
 
 
 def triangle_setup(screen, tris, width, height,
@@ -159,5 +240,8 @@ def triangle_setup_from_corners(v, width, height,
     zplane_fill = jnp.array([0.0, 0.0, jnp.inf], jnp.float32)
     zplane = jnp.where(valid[:, None], zplane, zplane_fill)
     inv_area = jnp.where(valid, inv_area, 0.0)
+    safe = coverage_safe(x1, y1, x2, y2, x3, y3, a0, b0, a1, b1, abs_d,
+                         width, height)
     return TriangleSetup(coef=coef, zplane=zplane, inv_area=inv_area,
-                         bbox=bbox, valid=valid, area2=d)
+                         bbox=bbox, valid=valid, area2=d,
+                         safe=safe | ~valid)

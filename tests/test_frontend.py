@@ -116,33 +116,45 @@ def test_binned_planar_matches_reference_backend(persp):
                                atol=2e-4)
 
 
-def test_pallas_fe_kernel_bit_equals_xla_planar_front():
+def test_pallas_fe_kernel_matches_xla_planar_front():
     """The Pallas FE kernel (ops/frontend_kernel.py) must reproduce the
-    XLA planar_front bit-for-bit INSIDE jit (production always jits;
-    eager XLA skips the mul+add contraction jit applies, so eager-vs-jit
-    is the wrong comparison — see frontend._front_math docstring)."""
-    import dataclasses as dc
-    rng = np.random.default_rng(11)
-    t = 9000  # above PALLAS_FE_MIN_T and a non-multiple of the block
-    corners = rng.uniform(-1.5, 1.5, size=(t, 3, 3)).astype(np.float32)
-    corners[5] = corners[5][0]       # degenerate (zero area)
-    corners[17, :, 2] = -5.0         # behind the near plane
-    corners[33] = np.inf             # non-finite
-    m = np.eye(4, dtype=np.float32)
-    m[3, 2] = 1.0
-    cc = fe.corner_cols(jnp.asarray(corners))
-
-    def run(pallas):
-        f = jax.jit(lambda cc, m: fe.planar_front(
-            cc, m, 320, 200, cull_backfaces=True, pallas=pallas))
-        return f(cc, jnp.asarray(m))
-
-    ps_x, ps_p = run(False), run(True)
-    assert ps_p.num_triangles == t
-    for f in [x.name for x in dc.fields(ps_x)]:
-        a, b = np.asarray(getattr(ps_x, f)), np.asarray(getattr(ps_p, f))
-        assert a.dtype == b.dtype and a.shape == b.shape, f
-        np.testing.assert_array_equal(a, b, err_msg=f)
+    XLA planar_front up to the cross-compiler CONTRACTION class
+    (testing/compare.py assert_fe_contraction_class): coverage-critical
+    fields (edge gradients, bbox, valid, areas, clip-w) bit-exact; the
+    edge/depth-plane CONSTANTS may differ by FMA-contraction ulps bounded
+    by the plane scale — XLA:CPU's LLVM backend decides mul+add
+    contraction per shape, so sharing one traced body does not force bit
+    equality on CPU. On TPU both compilers agree and the hardware gate
+    (tools/tpu_gate.py check_fe_kernel) asserts FULL bit-equality on this
+    exact scene."""
+    from software_renderer_tpu.testing.fixtures import fe_gate_scene
+    ps_x, ps_p, corners, m = fe_gate_scene()
+    assert ps_p.num_triangles == 9000
+    from software_renderer_tpu.testing.compare import (
+        assert_fe_contraction_class)
+    assert_fe_contraction_class(ps_x, ps_p, corners, m,
+                                width=320, height=200,
+                                context="pallas FE vs XLA planar front")
+    # Injected-bug sensitivity: the class must REJECT (a) any flip of a
+    # coverage-critical field and (b) constant errors beyond the
+    # product-rounding bound (here: one c1 perturbed by 1% of its plane's
+    # on-screen range — a real kernel bug's magnitude, not an FMA ulp).
+    import dataclasses
+    v = np.asarray(ps_p.valid).copy()
+    i = int(np.argmax(v))
+    v[i] = False
+    with pytest.raises(AssertionError):
+        assert_fe_contraction_class(
+            ps_x, dataclasses.replace(ps_p, valid=jnp.asarray(v)),
+            corners, m, width=320, height=200, context="injected")
+    c1 = np.asarray(ps_p.c1).copy()
+    span = (np.abs(np.asarray(ps_p.a1)[i]) * 320
+            + np.abs(np.asarray(ps_p.b1)[i]) * 200)
+    c1[i] += 0.01 * span
+    with pytest.raises(AssertionError):
+        assert_fe_contraction_class(
+            ps_x, dataclasses.replace(ps_p, c1=jnp.asarray(c1)),
+            corners, m, width=320, height=200, context="injected")
 
 
 def test_pallas_fe_auto_threshold_routes_small_scenes_to_xla():

@@ -109,6 +109,25 @@ def check(name, rp, backends=("binned", "pallas"), atol=1e-3,
               f"color max d {np.abs(c - c_ref).max():.2e}", flush=True)
 
 
+def check_fe_kernel():
+    """The Pallas FE kernel vs the XLA planar front-end, FULL bit-equality
+    on hardware (Mosaic and XLA:TPU agree on FMA contraction; XLA:CPU
+    hosts only get the contraction class — testing/compare.py). Guards
+    the default auto-route planar_front takes at T >= PALLAS_FE_MIN_T."""
+    import dataclasses as dc
+
+    from software_renderer_tpu.testing.fixtures import fe_gate_scene
+
+    ps_x, ps_p, _, _ = fe_gate_scene()
+    for f in [x.name for x in dc.fields(ps_x)]:
+        a, b = np.asarray(getattr(ps_x, f)), np.asarray(getattr(ps_p, f))
+        assert a.dtype == b.dtype and a.shape == b.shape, f
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"FE kernel vs XLA planar front: field {f}")
+    print("  FE kernel vs XLA planar front: all 23 fields bit-equal",
+          flush=True)
+
+
 def main():
     write_golden = "--write-golden" in sys.argv
     dev = jax.devices()[0]
@@ -116,7 +135,13 @@ def main():
     assert dev.platform == "tpu", (
         "the hardware gate must run on a real TPU (got "
         f"{dev.platform}; unset JAX_PLATFORMS overrides)")
+    import subprocess
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__)))).stdout.strip()
+    print(f"gate git sha: {sha}", flush=True)
 
+    check_fe_kernel()
     check("config1 cube", scenes.config1_flat_cube(0.5))
     check("config2 textured", scenes.config2_textured_cube(0.7))
     check("config3 teapot", scenes.config3_phong_mesh(0.3), atol=4e-3)
@@ -139,6 +164,51 @@ def main():
               backends=("binned",), golden_backend="pallas", atol=4e-3)
         check("config4 mass spill", _config4_spill(200),
               backends=("binned",), golden_backend="pallas", atol=4e-3)
+
+    # Row-sliced binned render on real Mosaic (the render_sharded per-
+    # shard configuration: production backend, y_start != 0): the row
+    # slices must reassemble to the full frame up to depth-tie ulps with
+    # EXACT coverage (the round-4 verdict's sharded-configuration gate).
+    from software_renderer_tpu.render import render_rows
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
+    rp_rows = scenes.config3_phong_mesh(0.3)
+    full = jax.block_until_ready(sr.render(rp_rows, backend="binned"))
+    h2 = rp_rows.height // 2
+    top = render_rows(rp_rows, y_start=0, rows=h2, backend="binned")
+    bot = render_rows(rp_rows, y_start=h2, rows=h2, backend="binned")
+    color = np.concatenate([np.asarray(top.color), np.asarray(bot.color)])
+    depth = np.concatenate([np.asarray(top.depth), np.asarray(bot.depth)])
+    np.testing.assert_array_equal(color[..., 3],
+                                  np.asarray(full.color[..., 3]),
+                                  err_msg="row-sliced binned: coverage")
+    assert_tie_class_equal(full.color, color, full.depth, depth, atol=4e-3,
+                           context="row-sliced binned render (y_start!=0)")
+    print("  row-sliced binned render: coverage exact, tie-class equal",
+          flush=True)
+
+    # SSAA x2 on hardware at scale (ops/msaa.py renders the whole frame
+    # at 2x resolution through the production path — never before run on
+    # real Mosaic; exercises the 2x-size tile grid + downsample).
+    from software_renderer_tpu.ops.msaa import render_msaa
+    rp_aa = scenes.config2_textured_cube(0.7)
+    fb_aa = jax.block_until_ready(render_msaa(rp_aa, samples=2))
+    c_aa = np.asarray(fb_aa.color)
+    assert c_aa.shape == (rp_aa.height, rp_aa.width, 4)
+    assert np.isfinite(c_aa).all()
+    # The box filter of the 2x frame must average the 2x backend pair
+    # bit-for-bit: compare against the reference backend's 2x render
+    # downsampled the same way (coverage-weighted alpha equal).
+    import dataclasses as _dc
+    from software_renderer_tpu.ops.msaa import downsample_box
+    hi = _dc.replace(rp_aa, width=rp_aa.width * 2, height=rp_aa.height * 2)
+    fb_hi_ref = sr.render(hi, backend="reference")
+    c_ref = np.asarray(downsample_box(fb_hi_ref.color, 2))
+    np.testing.assert_array_equal(c_aa[..., 3], c_ref[..., 3],
+                                  err_msg="ssaa2: coverage-weighted alpha")
+    bad = ~np.isclose(c_aa, c_ref, atol=1e-3)
+    assert bad.mean() < 1e-3, f"ssaa2: {bad.sum()} values off"
+    print("  SSAA x2: alpha exact vs reference-downsample, color in class",
+          flush=True)
 
     # Golden image artifact: the reference demo sphere, quantized.
     fb = jax.block_until_ready(sr.render(sphere_scene(), backend="binned"))
