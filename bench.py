@@ -43,7 +43,14 @@ def bench_config5(rp, n_tris, iters):
     from software_renderer_tpu.parallel.batch import render_batch_chunked
 
     n_frames = int(os.environ.get("BENCH_BATCH", "64"))
-    times = jnp.arange(n_frames, dtype=jnp.float32) / 60.0
+    # Stride the batch across the SAME animation range config4's p50
+    # covers (704 frames, t in [0, 11.7 s)) so the two numbers are
+    # comparable on their face — r3 measured consecutive frames
+    # t in [0, 1.05 s), the cheap low-coverage part of the animation,
+    # which overstated batched FPS vs config4's full-range p50.
+    total_frames = float(os.environ.get("BENCH_ANIM_FRAMES", "704"))
+    stride = total_frames / n_frames / 60.0
+    times = jnp.arange(n_frames, dtype=jnp.float32) * stride
     transforms = jax.vmap(
         lambda t: rp.transform @ tf.rotation_matrix(
             tf.quat_from_axis_angle(
@@ -74,7 +81,9 @@ def bench_config5(rp, n_tris, iters):
     print(result, file=sys.stderr)
     print(json.dumps({
         "metric": (f"FPS (batched x{n_frames}) at {rp.width}x{rp.height}, "
-                   f"{n_tris}-triangle textured scene (config5); p50 "
+                   f"{n_tris}-triangle textured scene (config5), frames "
+                   f"strided over the full {int(total_frames)}-frame "
+                   f"animation (same range as config4's p50); p50 "
                    f"{result.p50_ms:.3f} ms/frame, "
                    f"{result.mtri_s:.1f} Mtri/s"),
         "value": round(result.fps, 2),

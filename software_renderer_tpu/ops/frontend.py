@@ -196,9 +196,13 @@ def _front_math(corners_c, mm, width, height, *,
     from .setup import coverage_safe
     safe = coverage_safe(x1, y1, x2, y2, x3, y3, a0, b0, a1, b1,
                          abs_d, width, height) | ~valid
+    # where(), not abs_d * valid: multiply-by-bool keeps NaN (non-finite
+    # invalid corners) under XLA while Mosaic lowers it as a select that
+    # drops it — a cross-compiler nan-location mismatch the hardware
+    # gate's FE field check caught (GATE_r04.log, first run).
     return (a0, a1, a2, b0, b1, b2, c0, c1, c2, zx, zy, zc,
-            abs_d * valid, inv_area, d, bx0, by0, bx1, by1, valid,
-            ws[0], ws[1], ws[2], safe)
+            jnp.where(valid, abs_d, 0.0), inv_area, d, bx0, by0, bx1, by1,
+            valid, ws[0], ws[1], ws[2], safe)
 
 
 # Route planar_front through the Pallas FE kernel at or above this

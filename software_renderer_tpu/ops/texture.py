@@ -115,6 +115,25 @@ def sample_texture_planes(tex: Texture, u, v):
 # tile per segment) and makes segment extraction a pure reshape.
 COMPACT_SEG = 128
 
+# Scene-agnostic tier ladder for the compacted sampler, pinned by three
+# HARDWARE-measured constants (tools/measure_tex_wrapper.py, PERF.md
+# step 16) rather than any scene's coverage histogram:
+#   * the compacted path costs fixed + slope*cap (~1.5 ms + ~10.2 ms per
+#     unit cap at 1080p on v5e) while the full-frame fallback is ~8.4 ms
+#     and FREE to fall into, so caps above the ~0.65-0.70 crossover can
+#     never win -> top rung 0.64;
+#   * every rung is one more compiled gather variant, so the ladder is
+#     geometric with ratio sqrt(2): whatever a frame's live coverage,
+#     the engaged rung's STATIC cap (the thing the gather actually pays,
+#     not the live count) is within sqrt(2)x of ideal, with only
+#     log_sqrt2(top/floor) rungs of compile cost;
+#   * below cap ~0.2 the fixed compaction cost dominates the gather line
+#     (0.2 * 10.2 ~= 2 ms vs ~1.5 ms fixed) — halving the cap saves
+#     under 1 ms, not worth another compile unit -> 4 rungs, floor 0.226.
+TEX_CAP_TOP = 0.64
+TEX_CAP_LADDER = tuple(sorted(TEX_CAP_TOP / 2.0 ** (k / 2.0)
+                              for k in range(4)))
+
 
 def _segment_ranks(scov):
     """Rank structures for covered-segment compaction.
@@ -180,7 +199,7 @@ def _segment_compaction_maps(scov, cap: int):
 
 
 def sample_texture_planes_compacted(tex: Texture, u, v, covered,
-                                    cap_fracs=(0.28, 0.35, 0.45, 0.60)):
+                                    cap_fracs=TEX_CAP_LADDER):
     """Bilinear-sample only the *covered* row segments of the frame —
     equal per covered pixel (to one FMA-contraction ulp) to
     :func:`sample_texture_planes`.
@@ -203,13 +222,14 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     full-frame gather — measured FREE (8.33 vs 8.37 ms plain at 1080p),
     so high-coverage frames lose nothing. Measured at 33% segment
     coverage: 5.1 ms at cap 0.35, 6.1 ms at cap 0.45, vs 8.4 plain
-    (tools/measure_tex_wrapper.py). The default tier set matches the
-    north-star animation's coverage histogram
-    (tools/measure_segcov_fine.py: 16% of frames land in [0.22, 0.28),
-    27% in [0.35, 0.45)); tiers cost nothing when unused, so extra
-    levels only pay compile time. (Under vmap the conds become
-    selects and every tier executes — batch callers should prefer
-    scan-over-frames, as render_batch_chunked(vmap_chunk=1) does.)
+    (tools/measure_tex_wrapper.py). The default is the scene-agnostic
+    geometric ladder :data:`TEX_CAP_LADDER` — derived from hardware
+    cost constants, not from any scene's coverage histogram (see the
+    constant's comment for the derivation); tiers cost nothing when
+    unused, so extra levels only pay compile time. (Under vmap the
+    conds become selects and every tier executes — batch callers should
+    prefer scan-over-frames, as render_batch_chunked(vmap_chunk=1)
+    does.)
 
     Uncovered pixels return finite garbage the caller's covered-mask
     zeroes out (exactly like the fused epilogue's other channels).
@@ -222,27 +242,33 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     k = COMPACT_SEG
     ns = h * w // k
 
-    # Identical per-pixel base math to sample_texture_planes.
-    x = u * tw - 0.5
-    y = v * th - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
-    ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-    idx = (ya * tw + xa).reshape(ns, k)              # [Ns, K] table rows
     scov = jnp.any(covered.reshape(ns, k), axis=1)
     lc, off, slot, n_cov = _segment_ranks(scov)
+    u_s = u.reshape(ns, k)
+    v_s = v.reshape(ns, k)
 
     def tier(cap: int):
         def compacted(_):
             comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
             sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
-            ci = idx[comp_seg]                       # [cap, K] (2D = the
+            # Per-pixel base math runs in COMPACTED space: only u/v are
+            # extracted (two [cap]-row gathers); the floor/wrap/index
+            # chain — identical expressions to sample_texture_planes —
+            # then touches cap*K pixels instead of the whole frame
+            # (measured ~1 ms of full-frame elementwise + materialized
+            # [H, W] intermediates at 1080p, tools/measure_tex_caps.py).
+            cu = u_s[comp_seg]                       # [cap, K]
+            cv = v_s[comp_seg]
+            x = cu * tw - 0.5
+            y = cv * th - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            cfx = x - x0
+            cfy = y - y0
+            xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
+            ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
+            ci = ya * tw + xa                        # [cap, K] (2D = the
             quad = _quad_table(tex)[ci].astype(jnp.float32)  # fast gather)
-            cfx = fx.reshape(ns, k)[comp_seg]
-            cfy = fy.reshape(ns, k)[comp_seg]
             chans = []
             for i in range(c):
                 t00 = quad[..., i]

@@ -51,6 +51,21 @@ def main():
 
     timed("baseline [H,W]-idx rows x12", lambda i: jnp.sum(
         quad[(pix2d + i) & 65535]))
+    # Index-SHAPE sweep at the compacted row count (tier 0.35 at 1080p
+    # gathers ~726k rows as [cap, 128]): is the measured ~6.7 ns/row in
+    # the compacted layout (vs ~3.3 full-frame, PERF.md step 15) a real
+    # property of the [*, 128]-minor index shape, or attribution of the
+    # fixed compaction overhead to the gather line?
+    pix_c = jnp.asarray(rng.integers(0, 65536, size=(5670, 128)),
+                        jnp.int32)
+    for shape in [(5670, 128), (2835, 256), (1417, 512), (708, 1024),
+                  (378, 1920), (5670 * 128,)]:
+        n = 1
+        for s in shape:
+            n *= s
+        p = pix_c.reshape(-1)[:n].reshape(shape)
+        timed(f"compacted-count idx {shape}", lambda i, p=p: jnp.sum(
+            quad[(p + i) & 65535]))
     timed("rows x12, consumed per-channel", lambda i: sum(
         jnp.sum(quad[(pix2d + i) & 65535][..., c]) for c in range(12)))
     timed("transposed quadT[:, idx2d]", lambda i: jnp.sum(
