@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--out", default="out/demo")
+    ap.add_argument("--serve", action="store_true",
+                    help="present live at http://127.0.0.1:PORT/ instead "
+                         "of writing PNGs (the on-screen-window analogue)")
+    ap.add_argument("--port", type=int, default=0,
+                    help="--serve port (0 = pick a free one)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
     if args.list:
@@ -78,9 +83,16 @@ def main():
         return scene_fn(t).transform
 
     loop = FrameLoop(scene_fn, transform_fn=transform_fn, config=config)
-    fps = loop.run(args.frames, out_dir=args.out)
-    print(f"{args.scene}: {args.frames} frames -> {args.out} "
-          f"({fps:.1f} FPS incl. encode)")
+    if args.serve:
+        from software_renderer_tpu.utils.present import PresentServer
+        with PresentServer(port=args.port) as srv:
+            fps = loop.run(args.frames, present=srv)
+            print(f"{args.scene}: {args.frames} frames presented at "
+                  f"{srv.url} ({fps:.1f} FPS incl. encode)")
+    else:
+        fps = loop.run(args.frames, out_dir=args.out)
+        print(f"{args.scene}: {args.frames} frames -> {args.out} "
+              f"({fps:.1f} FPS incl. encode)")
 
 
 if __name__ == "__main__":

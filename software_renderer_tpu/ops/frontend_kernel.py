@@ -68,9 +68,11 @@ def planar_front_pallas(corners_c, transform, width, height, *,
                         near_eps: float = CLIP_EPS,
                         extra_valid=None,
                         interpret: bool | None = None):
-    """Drop-in planar_front via the fused Pallas pass (bit-identical).
+    """Drop-in planar_front via the fused Pallas pass.
 
-    Returns the same PlanarSetup a pallas=False planar_front returns.
+    Returns the same PlanarSetup a pallas=False planar_front returns —
+    bit-equal on TPU (asserted by tools/tpu_gate.py check_fe_kernel,
+    GATE_r04.log), contraction-class on CPU (module docstring).
     """
     from .frontend import PlanarSetup
     from .rasterize_pallas import default_interpret

@@ -62,8 +62,9 @@ class FrameLoop:
         return fb
 
     def run(self, n_frames: int, out_dir: Optional[str] = None,
-            writer=None) -> float:
-        """Render n_frames; optionally sink PNGs. Returns mean FPS.
+            writer=None, present=None) -> float:
+        """Render n_frames; optionally sink PNGs and/or publish to a live
+        present surface (utils/present.py PresentServer). Returns mean FPS.
 
         Each frame runs under a ``jax.profiler`` span and lands in
         ``utils.profiling.stage_times['frame']`` — wrap a call in
@@ -75,6 +76,7 @@ class FrameLoop:
             if writer is None:
                 from .. import runtime
                 writer = runtime.write_png
+        sinking = bool(out_dir) or present is not None
         pending = None  # (index, framebuffer) — encode behind the device
         t0 = _time.perf_counter()
         for i in range(n_frames):
@@ -87,12 +89,12 @@ class FrameLoop:
                 # rendering frame N (the triple-buffered-present analogue).
                 out.append(pending[1].color if pending is not None
                            else fb.color)
-            if out_dir:
+            if sinking:
                 if pending is not None:
-                    self._write(writer, out_dir, *pending)
+                    self._sink(writer, out_dir, present, *pending)
                 pending = (i, fb)
         if pending is not None:
-            self._write(writer, out_dir, *pending)
+            self._sink(writer, out_dir, present, *pending)
         else:
             jax.block_until_ready(fb.color)
         dt = _time.perf_counter() - t0
@@ -101,7 +103,11 @@ class FrameLoop:
         return fps
 
     @staticmethod
-    def _write(writer, out_dir, index, fb):
-        img = np.asarray(to_rgba8(fb.color))
-        writer(os.path.join(out_dir, f"frame_{index:05d}.png"), img)
-        bump("frames_written")
+    def _sink(writer, out_dir, present, index, fb):
+        if out_dir:
+            img = np.asarray(to_rgba8(fb.color))
+            writer(os.path.join(out_dir, f"frame_{index:05d}.png"), img)
+            bump("frames_written")
+        if present is not None:
+            present.present(fb.color)
+            bump("frames_presented")

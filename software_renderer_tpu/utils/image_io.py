@@ -19,23 +19,27 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def write_png(path: str, image) -> None:
-    """Write an RGB(A) uint8 image [H, W, 3|4] (or grayscale [H, W])."""
+def encode_png(image, level: int = 6) -> bytes:
+    """Encode an RGB(A) uint8 image [H, W, 3|4] (or grayscale [H, W]) to
+    in-memory PNG bytes (the live present surface streams these)."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
-        raise ValueError("write_png expects uint8 (use to_rgba8 first)")
+        raise ValueError("encode_png expects uint8 (use to_rgba8 first)")
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    payload = zlib.compress(raw, 6)
+    payload = zlib.compress(raw, level)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", payload) + _png_chunk(b"IEND", b""))
+
+
+def write_png(path: str, image) -> None:
+    """Write an RGB(A) uint8 image [H, W, 3|4] (or grayscale [H, W])."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", ihdr))
-        f.write(_png_chunk(b"IDAT", payload))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(encode_png(image))
 
 
 def read_png(path: str) -> np.ndarray:

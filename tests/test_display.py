@@ -131,3 +131,48 @@ def test_frameloop_png_mode_times_device_work(tmp_path):
     # timing reads ~0). Generous slack: CPU timings are noisy.
     assert sum(png[1:]) > 0.2 * sum(plain[1:]), (png, plain)
     assert sum(png) <= wall
+
+
+def test_present_server_serves_live_frames():
+    """The live present surface (utils/present.py): frames published by
+    the loop are fetchable over HTTP, newest-wins, with stats."""
+    import json
+    from urllib.request import urlopen
+
+    from software_renderer_tpu.utils.present import PresentServer
+
+    def scene_fn(t):
+        return scenes.reference_sphere(t, width=48, height=48)
+
+    loop = FrameLoop(scene_fn,
+                     transform_fn=tf.reference_demo_transform,
+                     config=RenderConfig(width=48, height=48,
+                                         backend="reference"))
+    with PresentServer() as srv:
+        fps = loop.run(3, present=srv)
+        page = urlopen(srv.url).read()
+        assert b"frame.png" in page and b"stats.json" in page
+        stats = json.loads(urlopen(srv.url + "stats.json").read())
+        assert stats["frame"] == 2  # three frames published, 0-indexed
+        png = urlopen(srv.url + "frame.png").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # Round-trip: served bytes decode to the last frame's pixels.
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        f.write(png)
+        path = f.name
+    img = read_png(path)
+    os.unlink(path)
+    assert img.shape == (48, 48, 4)
+    assert img[..., 3].max() == 255  # sphere rendered, not the placeholder
+    assert fps > 0
+
+
+def test_encode_png_roundtrip(tmp_path):
+    from software_renderer_tpu.utils.image_io import encode_png
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    p.write_bytes(encode_png(img))
+    back = read_png(str(p))
+    np.testing.assert_array_equal(back, img)
