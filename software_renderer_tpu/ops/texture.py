@@ -134,6 +134,16 @@ TEX_CAP_TOP = 0.64
 TEX_CAP_LADDER = tuple(sorted(TEX_CAP_TOP / 2.0 ** (k / 2.0)
                               for k in range(4)))
 
+# Issue the compacted quad gather as this many independent gathers over
+# row partitions of the index (values are a pure partition + concat, so
+# bit-equality is preserved). XLA's TPU gather lowering has strategy
+# cliffs in row count (tools/measure_gather_floor.py: two half gathers
+# of 363k rows measured 4.02 ms where one 726k-row gather costs 4.92);
+# the default is the measured best on v5e (tools/measure_tex_split.py).
+import os as _os
+
+TEX_GATHER_SPLIT = int(_os.environ.get("SR_TEX_SPLIT", "1"))
+
 
 def _segment_ranks(scov):
     """Rank structures for covered-segment compaction.
@@ -268,7 +278,16 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
             xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
             ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
             ci = ya * tw + xa                        # [cap, K] (2D = the
-            quad = _quad_table(tex)[ci].astype(jnp.float32)  # fast gather)
+            qt = _quad_table(tex)                    # fast gather)
+            s = TEX_GATHER_SPLIT
+            if s > 1 and cap % s == 0:
+                # Partitioned issue (see TEX_GATHER_SPLIT): same rows,
+                # same order, S independent gathers.
+                quad = jnp.concatenate(
+                    [qt[ci[j * (cap // s):(j + 1) * (cap // s)]]
+                     for j in range(s)], axis=0).astype(jnp.float32)
+            else:
+                quad = qt[ci].astype(jnp.float32)
             chans = []
             for i in range(c):
                 t00 = quad[..., i]

@@ -42,7 +42,8 @@ def make_mesh(n_frames: int, n_rows: int, devices=None) -> Mesh:
 
 
 def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
-                  backend: str):
+                  backend: str, n_row_shards: int = 1,
+                  shard_frontend: bool = False):
     """Render this shard's frames' row slice. Runs inside shard_map.
 
     Frames iterate via ``lax.scan``, NOT ``vmap``: vmapping a Pallas call
@@ -50,12 +51,49 @@ def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
     DMA elision in the banded fused kernel — measured 8.5x slower per
     frame at 1080p (docs/PERF.md round 3). Scan pipelines frames on the
     device exactly like the single-chip batch path
-    (parallel/batch.py render_batch_chunked(vmap_chunk=1))."""
+    (parallel/batch.py render_batch_chunked(vmap_chunk=1)).
+
+    ``shard_frontend``: split the per-triangle front-end (vertex
+    transform + setup, ops/frontend.py planar_front) across the ``rows``
+    axis and ``all_gather`` the [T]-column results, instead of every
+    shard recomputing the whole FE. The FE is the row-count-INDEPENDENT
+    part of a shard's work (~1.9 ms/frame at 100k tris on v5e,
+    tools/microbench_planar_split.py), while the gathered columns are
+    only ~9 MB — recompute-vs-communicate favors the all_gather on ICI
+    by an order of magnitude. Values are unchanged: each triangle's
+    columns are computed by exactly one shard with the same math
+    (through the Pallas FE kernel the per-block codegen is shape-
+    independent, so the columns are bit-equal to the unsharded FE's;
+    via the XLA FE at small T they can differ by per-shape FMA-
+    contraction ulps — the documented cross-shape tolerance class,
+    tests/test_parallel.py)."""
     y0 = jax.lax.axis_index("rows") * rows_per_shard
+
+    front_of = None
+    if (shard_frontend and n_row_shards > 1 and not rp.clip_near
+            and rp.primitive == "triangle"):
+        from ..ops import frontend as fe
+        corners = rp.mesh.positions[rp.mesh.triangles()]   # [T, 3, 3]
+        t = corners.shape[0]
+        tloc = -(-t // n_row_shards)
+        # Zero padding is degenerate (d == 0) -> valid=False everywhere.
+        corners = jnp.pad(corners.astype(jnp.float32),
+                          ((0, tloc * n_row_shards - t), (0, 0), (0, 0)))
+        ridx = jax.lax.axis_index("rows")
+        local = jax.lax.dynamic_slice_in_dim(corners, ridx * tloc, tloc, 0)
+        cols = fe.corner_cols(local)
+
+        def front_of(transform):
+            ps_loc = fe.planar_front(cols, transform, rp.width, rp.height,
+                                     cull_backfaces=rp.cull_backfaces)
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "rows", axis=0, tiled=True),
+                ps_loc)
 
     def one(_, t):
         fb = render_rows(dataclasses.replace(rp, transform=t),
-                         y_start=y0, rows=rows_per_shard, backend=backend)
+                         y_start=y0, rows=rows_per_shard, backend=backend,
+                         front=front_of(t) if front_of is not None else None)
         return None, (fb.color, fb.depth)
 
     _, (color, depth) = jax.lax.scan(one, None, transforms_local)
@@ -63,19 +101,25 @@ def _local_render(rp: RenderPass, transforms_local, rows_per_shard: int,
 
 
 def render_sharded(rp: RenderPass, transforms, mesh: Mesh,
-                   backend: str = "auto") -> Framebuffer:
+                   backend: str = "auto",
+                   shard_frontend: bool = True) -> Framebuffer:
     """Render [B] frames over a (frames, rows) mesh.
 
     transforms: [B, 4, 4], B divisible by mesh 'frames'; rp.height
     divisible by mesh 'rows'. Returns a Framebuffer whose color/depth are
     globally [B, H, W, 4]/[B, H, W], sharded over (frames, rows).
+
+    shard_frontend (default on): split the per-triangle front-end over
+    the 'rows' axis and all_gather the columns instead of recomputing it
+    per shard — see _local_render. Ignored for clip_near scenes.
     """
     n_rows = mesh.shape["rows"]
     assert rp.height % n_rows == 0, "height must divide over the rows axis"
     rows_per = rp.height // n_rows
 
     fn = shard_map(
-        partial(_local_render, rp, rows_per_shard=rows_per, backend=backend),
+        partial(_local_render, rp, rows_per_shard=rows_per, backend=backend,
+                n_row_shards=n_rows, shard_frontend=shard_frontend),
         mesh=mesh,
         in_specs=(P("frames"),),
         out_specs=(P("frames", "rows"), P("frames", "rows")),

@@ -170,8 +170,17 @@ def _visibility(setup: TriangleSetup, rp: RenderPass, backend: str,
 
 
 def render_triangles(rp: RenderPass, backend: str,
-                     y_start=None, rows: Optional[int] = None) -> Framebuffer:
+                     y_start=None, rows: Optional[int] = None,
+                     front=None) -> Framebuffer:
     """Render the triangle path; optionally only rows [y_start, y_start+rows).
+
+    ``front``: an optional precomputed :class:`ops.frontend.PlanarSetup`
+    (possibly zero-padded past the mesh's triangle count — padding is
+    degenerate, hence invalid). Row-sharded rendering uses this to split
+    the per-triangle front-end across the ``rows`` mesh axis and
+    ``all_gather`` the columns instead of replicating the whole FE per
+    shard (parallel/sharding.py). Requires ``clip_near=False`` (the clip
+    path is corner-structured, not planar).
 
     Row slicing keeps *global* frame coordinates throughout — triangle
     setup is computed against the full viewport and the rasterizer's pixel
@@ -198,6 +207,8 @@ def render_triangles(rp: RenderPass, backend: str,
     # keeps the array front-end: clipping rewrites corners in clip space
     # (1 triangle -> up to 2), which is inherently corner-structured.
     corners = mesh.positions[tris]
+    if front is not None and rp.clip_near:
+        raise ValueError("a precomputed front requires clip_near=False")
     if rp.clip_near:
         # Exact near-plane clip: [T] -> [2T] triangles; new corners carry
         # barycentric weights for attribute composition below.
@@ -214,9 +225,9 @@ def render_triangles(rp: RenderPass, backend: str,
         ps = None
     else:
         cbary = None
-        ps = fe.planar_front(fe.corner_cols(corners), rp.transform,
-                             rp.width, rp.height,
-                             cull_backfaces=rp.cull_backfaces)
+        ps = front if front is not None else fe.planar_front(
+            fe.corner_cols(corners), rp.transform, rp.width, rp.height,
+            cull_backfaces=rp.cull_backfaces)
         setup = None   # materialized lazily for the non-binned backends
         w_c = None     # ditto (fe.corner_w)
 
@@ -308,6 +319,14 @@ def render_triangles(rp: RenderPass, backend: str,
                             + nm[i, 2] * nz[c] for c in range(3))
                         nx, ny, nz = rot(0), rot(1), rot(2)
                     attrs += [nx, ny, nz]
+            if front is not None and attrs:
+                # A precomputed (sharded-FE) front may be padded past the
+                # mesh's T to divide over the mesh axis; pad the attribute
+                # columns to match (padding is invalid -> never resolved).
+                tpad = ps.num_triangles - tris.shape[0]
+                if tpad > 0:
+                    attrs = [tuple(jnp.pad(col, (0, tpad)) for col in tri3)
+                             for tri3 in attrs]
             attrs = attrs or None
             pipe_setup = ps
         else:
@@ -419,13 +438,15 @@ def render_points(rp: RenderPass) -> Framebuffer:
 
 
 def render_rows(rp: RenderPass, y_start, rows: int,
-                backend: str = "auto") -> Framebuffer:
+                backend: str = "auto", front=None) -> Framebuffer:
     """Render only rows [y_start, y_start + rows) of the frame with global
     semantics (the row-sharding building block). ``y_start`` may be traced
-    (e.g. derived from ``jax.lax.axis_index`` inside shard_map)."""
+    (e.g. derived from ``jax.lax.axis_index`` inside shard_map).
+    ``front``: optional precomputed PlanarSetup (see render_triangles)."""
     if rp.primitive != "triangle":
         raise NotImplementedError("row slicing applies to the triangle path")
-    return render_triangles(rp, backend, y_start=y_start, rows=rows)
+    return render_triangles(rp, backend, y_start=y_start, rows=rows,
+                            front=front)
 
 
 @partial(jax.jit, static_argnames=("backend",), inline=True)

@@ -201,3 +201,34 @@ def test_texture_train_step_decreases_loss(backend):
                                      lr=200.0, backend=backend)
     assert float(loss1) < float(loss0)
     assert np.isfinite(np.asarray(tex2)).all()
+
+
+def test_sharded_frontend_matches_replicated_fe():
+    """shard_frontend=True (the default: FE split over the 'rows' axis +
+    all_gather of the [T] columns) against shard_frontend=False (every
+    shard recomputes the whole FE), on the production binned backend,
+    with textures + perspective-correct attributes so the padded
+    attribute columns are exercised (T=%d is not divisible by 4 shards,
+    so the corner padding path runs)."""
+    from software_renderer_tpu.ops.texture import Texture, checkerboard
+    from software_renderer_tpu.testing.compare import assert_tie_class_equal
+    mesh = sr.shapes.uv_sphere(radius=0.2, segments=9, rings=6,
+                               inward_normals=True)
+    assert (mesh.indices.shape[0] // 3) % 4 != 0  # padding path engaged
+    rp = sr.RenderPass(mesh=mesh, transform=jnp.eye(4),
+                       width=64, height=64, shading="textured",
+                       texture=checkerboard(16, 4),
+                       perspective_correct=True)
+    dmesh = make_mesh(2, 4)
+    transforms = batch_transforms(4)
+    fb_sf = render_sharded(rp, transforms, dmesh, shard_frontend=True)
+    fb_rep = render_sharded(rp, transforms, dmesh, shard_frontend=False)
+    # Same backend, same per-shard shapes; only WHERE the FE columns were
+    # computed differs — coverage must agree bit-exactly, color/depth up
+    # to the cross-shape FE contraction class (XLA may contract the FE
+    # FMAs differently at [T/4] vs [T] shapes on some hosts).
+    np.testing.assert_array_equal(np.asarray(fb_sf.color[..., 3]),
+                                  np.asarray(fb_rep.color[..., 3]))
+    assert_tie_class_equal(fb_sf.color, fb_rep.color,
+                           fb_sf.depth, fb_rep.depth,
+                           atol=2e-4, context="sharded vs replicated FE")
