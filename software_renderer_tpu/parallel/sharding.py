@@ -163,7 +163,8 @@ def texture_train_step(tex_data, rp: RenderPass, transforms, targets,
         def loss_fn(tex):
             rp_tex = dataclasses.replace(rp, texture=Texture(data=tex))
             color, _ = _local_render(rp_tex, transforms_local, rows_per,
-                                     backend)
+                                     backend, n_row_shards=n_rows,
+                                     shard_frontend=True)
             # Local sum of squared error; global mean via psum.
             err = color - targets_local
             return jnp.sum(err * err)
