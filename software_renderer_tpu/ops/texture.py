@@ -138,11 +138,83 @@ TEX_CAP_LADDER = tuple(sorted(TEX_CAP_TOP / 2.0 ** (k / 2.0)
 # row partitions of the index (values are a pure partition + concat, so
 # bit-equality is preserved). XLA's TPU gather lowering has strategy
 # cliffs in row count (tools/measure_gather_floor.py: two half gathers
-# of 363k rows measured 4.02 ms where one 726k-row gather costs 4.92);
-# the default is the measured best on v5e (tools/measure_tex_split.py).
+# of 363k rows measured 4.02 ms where one 726k-row gather costs 4.92).
+# Default 2 is the measured best on v5e config4: split 1 -> 83.98 FPS,
+# split 2 -> 85.43, split 4 -> 85.07 (bench.py A/B, docs/PERF.md r4).
 import os as _os
 
-TEX_GATHER_SPLIT = int(_os.environ.get("SR_TEX_SPLIT", "1"))
+TEX_GATHER_SPLIT = int(_os.environ.get("SR_TEX_SPLIT", "2"))
+
+# Quad-table packing factor for the compacted sampler's gather. The
+# gather is row-issue-bound and its rate is TABLE-SIZE sensitive
+# (tools/measure_gather_floor.py line (f): 726k rows from a 4096-row
+# table cost 3.0 ms where the same rows from 65536 cost 4.9) — so pack
+# PACK quads into one wider table row and pick the right quad with a
+# few VPU selects in compacted space. Selects copy exact f32 values:
+# results stay bit-identical to the unpacked path.
+#   1 -> [Th*Tw, 4C] (one quad/row, the classic layout)
+#   2 -> [Th*Tw/2, 6C] x-pair: texels (y..y+1, 2k..2k+2), 1-bit select
+#   4 -> [Th*Tw/4, 9C] 2x2 supertile: (2j..2j+2, 2k..2k+2), 2-bit
+TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "1"))
+
+
+def _shift2(d, sy: int, sx: int, mode: str):
+    """Texture shifted by (sy, sx) texels with the wrap mode baked in."""
+    if mode == "repeat":
+        return jnp.roll(d, (-sy, -sx), (0, 1))
+    th, tw = d.shape[0], d.shape[1]
+    yi = jnp.clip(jnp.arange(th) + sy, 0, th - 1)
+    xi = jnp.clip(jnp.arange(tw) + sx, 0, tw - 1)
+    return d[yi][:, xi]
+
+
+def _packed_quad_table(tex: Texture, pack: int):
+    """Packed quad table (see :data:`TEX_TABLE_PACK`).
+
+    pack=2: [Th*Tw/2, 6C] — row (y, k) holds texels (y..y+1, 2k..2k+2),
+    dx-major within dy. pack=4: [Th*Tw/4, 9C] — row (j, k) holds
+    (2j..2j+2, 2k..2k+2). Same texel values as :func:`_quad_table`, so
+    the select-extracted quads are bit-identical.
+    """
+    d = tex.data
+    th, tw, c = d.shape
+    if pack == 2:
+        shifts = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+        t = jnp.concatenate([_shift2(d, sy, sx, tex.wrap)
+                             for sy, sx in shifts], axis=-1)
+        t = t[:, ::2, :]                       # [Th, Tw/2, 6C]
+        return t.reshape(th * (tw // 2), 6 * c).astype(tex.table_dtype)
+    assert pack == 4
+    shifts = [(sy, sx) for sy in (0, 1, 2) for sx in (0, 1, 2)]
+    t = jnp.concatenate([_shift2(d, sy, sx, tex.wrap)
+                         for sy, sx in shifts], axis=-1)
+    t = t[::2, ::2, :]                         # [Th/2, Tw/2, 9C]
+    return t.reshape((th // 2) * (tw // 2), 9 * c).astype(tex.table_dtype)
+
+
+def _packed_corners(quadp, px, py, c: int, pack: int, i: int):
+    """Extract quad corner planes (t00, t01, t10, t11) for channel ``i``
+    from gathered packed rows. px/py: x/y parity bool masks broadcastable
+    against quadp[..., 0]. Pure selects of exact f32 values."""
+    if pack == 2:
+        def col(dy, dx):
+            return quadp[..., (dy * 3 + dx) * c + i]
+        t00 = jnp.where(px, col(0, 1), col(0, 0))
+        t01 = jnp.where(px, col(0, 2), col(0, 1))
+        t10 = jnp.where(px, col(1, 1), col(1, 0))
+        t11 = jnp.where(px, col(1, 2), col(1, 1))
+        return t00, t01, t10, t11
+
+    def col(dy, dx):
+        return quadp[..., (dy * 3 + dx) * c + i]
+
+    def at(dy, dx):
+        # texel (py+dy, px+dx) of the 3x3 supertile window
+        a = jnp.where(px, col(dy, dx + 1), col(dy, dx))
+        b = jnp.where(px, col(dy + 1, dx + 1), col(dy + 1, dx))
+        return jnp.where(py, b, a)
+
+    return at(0, 0), at(0, 1), at(1, 0), at(1, 1)
 
 
 def _segment_ranks(scov):
@@ -277,8 +349,17 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
             cfy = y - y0
             xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
             ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-            ci = ya * tw + xa                        # [cap, K] (2D = the
-            qt = _quad_table(tex)                    # fast gather)
+            pack = TEX_TABLE_PACK
+            if pack == 2 and tw % 2 == 0:
+                ci = ya * (tw // 2) + (xa >> 1)
+                qt = _packed_quad_table(tex, 2)
+            elif pack == 4 and tw % 2 == 0 and th % 2 == 0:
+                ci = (ya >> 1) * (tw // 2) + (xa >> 1)
+                qt = _packed_quad_table(tex, 4)
+            else:
+                pack = 1
+                ci = ya * tw + xa                    # [cap, K] (2D = the
+                qt = _quad_table(tex)                # fast gather)
             s = TEX_GATHER_SPLIT
             if s > 1 and cap % s == 0:
                 # Partitioned issue (see TEX_GATHER_SPLIT): same rows,
@@ -288,12 +369,18 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
                      for j in range(s)], axis=0).astype(jnp.float32)
             else:
                 quad = qt[ci].astype(jnp.float32)
+            px = (xa & 1) == 1
+            py = (ya & 1) == 1
             chans = []
             for i in range(c):
-                t00 = quad[..., i]
-                t01 = quad[..., c + i]
-                t10 = quad[..., 2 * c + i]
-                t11 = quad[..., 3 * c + i]
+                if pack == 1:
+                    t00 = quad[..., i]
+                    t01 = quad[..., c + i]
+                    t10 = quad[..., 2 * c + i]
+                    t11 = quad[..., 3 * c + i]
+                else:
+                    t00, t01, t10, t11 = _packed_corners(
+                        quad, px, py, c, pack, i)
                 # Identical lerp expression to sample_texture_planes.
                 top = t00 + (t01 - t00) * cfx
                 bot = t10 + (t11 - t10) * cfx

@@ -23,6 +23,7 @@ blocks + per-primitive CPU dispatch loop, GpuRenderer.swift:73-138).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -289,6 +290,11 @@ def render_triangles(rp: RenderPass, backend: str,
             # larger static stream is noise at small T (measured, PERF.md
             # round 3).
             budget = 0.85 if rp.cull_backfaces else 3.0
+            if os.environ.get("SR_PAIR_BUDGET"):
+                # Measurement override (budget sweeps must cover the FULL
+                # bench animation — a low budget that looks fast on the
+                # cheap frames spills 4.5x on the expensive ones).
+                budget = float(os.environ["SR_PAIR_BUDGET"])
         else:
             budget = 0.75 if rp.cull_backfaces else 1.5
         from .ops.shading import (

@@ -31,7 +31,7 @@ from software_renderer_tpu.models import scenes
 from software_renderer_tpu.ops import transforms as tf
 from software_renderer_tpu.render import render_rows
 
-FRAMES_PER_CALL = 16
+FRAMES_PER_CALL = int(os.environ.get("BENCH_FRAMES_PER_CALL", "64"))
 
 
 def timed(name, render_fn, rp):
