@@ -63,6 +63,17 @@ from .setup import TriangleSetup
 # spill size: kmax 8 (spills at many angles) measured 4 ms/frame WORSE
 # than kmax 12 (spill-free across the animation) despite its smaller sort.
 KMAX = 12
+
+# tools/measure_srcexp.py flips these to price the slot->triangle
+# searchsorted in-pipeline. _FAKE_SRC substitutes a same-shape wrong
+# expansion (changes the live-pair population — measures an upper bound
+# on the whole expansion chain, NOT the searchsorted alone). _EXTRA_SRC
+# adds a second, result-identical searchsorted (side='left', folded in
+# by a max() that provably returns the real src) — the in-pipeline
+# delta vs baseline prices ONE searchsorted with identical downstream
+# work. Never set in production.
+_FAKE_SRC_FOR_PROFILING = False
+_EXTRA_SRC_FOR_PROFILING = False
 OVERFLOW_CAP = 1024  # overflow triangles per merge wave
 # Binned-stream pair budget, in units of T (triangle count). Small
 # triangles average ~1.3 bbox-tile overlaps; triangles past the budget
@@ -273,8 +284,22 @@ def build_bins(setup: TriangleSetup, *, width: int, height: int,
         # default binary search, whose log2(T) rounds of scalar gathers
         # measured ~10 ms at these sizes (TPU gathers are the enemy;
         # sorts are cheap).
-        src = (jnp.searchsorted(sb, slots, side="right",
-                                method="sort").astype(jnp.int32) - 1)
+        if _FAKE_SRC_FOR_PROFILING:
+            # Measurement-only (tools/measure_srcexp.py): stand in a
+            # same-shape WRONG expansion to price the searchsorted line
+            # in-pipeline. Never set in production.
+            src = slots % t
+        else:
+            src = (jnp.searchsorted(sb, slots, side="right",
+                                    method="sort").astype(jnp.int32) - 1)
+            if _EXTRA_SRC_FOR_PROFILING:
+                # Measurement-only: one more searchsorted whose result
+                # folds to exactly src (src2 - 2t < -t <= -1 <= src, so
+                # the max is always src), pricing the line in-pipeline
+                # with unchanged downstream work.
+                src2 = jnp.searchsorted(sb, slots, side="left",
+                                        method="sort").astype(jnp.int32)
+                src = jnp.maximum(src, src2 - 2 * t)
         erow = etab[jnp.clip(src, 0, t - 1)]  # [pairs_cap, 6]
         k = slots - erow[:, 0]
         live = (src >= 0) & (k < erow[:, 4])
