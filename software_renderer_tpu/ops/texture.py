@@ -44,15 +44,48 @@ def _wrap_coords(i, n, mode):
     raise ValueError(f"unknown wrap mode {mode!r}")
 
 
+# Eagerly-built table cache. Table construction is a chain of rolls +
+# concat + strided slice: when the texture reaches the sampler as a jit
+# CLOSURE constant (the steady-state render loop — bench.py closes over
+# the RenderPass and scans frames), those ops land INSIDE the traced
+# frame body, XLA refuses to constant-fold them at this size, and the
+# table is rebuilt every frame (~2.3 ms/frame for pack 16, measured in
+# tools/measure_pack16.py const-table A/B). Detect the concrete case,
+# build once under ensure_compile_time_eval, and cache keyed on the
+# data array's identity (a strong ref to the array guards id reuse).
+# Traced textures (training w.r.t. texture) keep the in-graph build so
+# gradients flow.
+_TABLE_CACHE: dict = {}
+
+
+def _cached_table(tex: Texture, pack: int, build):
+    if isinstance(tex.data, jax.core.Tracer):
+        return build()
+    key = (id(tex.data), pack, tex.wrap, tex.table_dtype)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is tex.data:
+        return hit[1]
+    with jax.ensure_compile_time_eval():
+        tab = build()
+    if len(_TABLE_CACHE) >= 64:   # bound memory across many test textures
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = (tex.data, tab)
+    return tab
+
+
 def _quad_table(tex: Texture):
     """[Th*Tw, 4C] table where row (y, x) holds the 2x2 texel neighborhood
     [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)] with the wrap mode baked in.
 
     Bilinear sampling then needs ONE row gather per pixel instead of four
     scattered texel gathers — a 4x reduction in gather count, which is
-    what TPU gather throughput is proportional to. Built in O(texels) on
-    device; XLA CSEs it across pixels within a jit.
+    what TPU gather throughput is proportional to. Built once per texture
+    (see :data:`_TABLE_CACHE`); in-graph only for traced texture data.
     """
+    return _cached_table(tex, 1, lambda: _quad_table_build(tex))
+
+
+def _quad_table_build(tex: Texture):
     d = tex.data
     if tex.wrap == "repeat":
         dx = jnp.roll(d, -1, axis=1)
@@ -97,13 +130,25 @@ def sample_texture_planes(tex: Texture, u, v):
     fy = y - y0
     xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
     ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-    quad = _quad_table(tex)[ya * tw + xa].astype(jnp.float32)  # one gather
+    # One row gather per pixel either way; the pack-16 supertile table
+    # (4096 rows at 256^2) crosses the gather's table-size threshold and
+    # is bit-identical after the select tree (see TEX_TABLE_PACK).
+    pack16 = TEX_TABLE_PACK == 16 and tw % 4 == 0 and th % 4 == 0
+    if pack16:
+        st = _packed_quad_table(tex, 16)
+        quad = st[(ya >> 2) * (tw // 4) + (xa >> 2)].astype(jnp.float32)
+        px, py = xa & 3, ya & 3
+    else:
+        quad = _quad_table(tex)[ya * tw + xa].astype(jnp.float32)
     out = []
     for i in range(c):
-        t00 = quad[..., i]
-        t01 = quad[..., c + i]
-        t10 = quad[..., 2 * c + i]
-        t11 = quad[..., 3 * c + i]
+        if pack16:
+            t00, t01, t10, t11 = _supertile_corners(quad, px, py, c, i)
+        else:
+            t00 = quad[..., i]
+            t01 = quad[..., c + i]
+            t10 = quad[..., 2 * c + i]
+            t11 = quad[..., 3 * c + i]
         top = t00 + (t01 - t00) * fx
         bot = t10 + (t11 - t10) * fx
         out.append(top + (bot - top) * fy)
@@ -155,7 +200,29 @@ TEX_GATHER_SPLIT = int(_os.environ.get("SR_TEX_SPLIT", "2"))
 #   1 -> [Th*Tw, 4C] (one quad/row, the classic layout)
 #   2 -> [Th*Tw/2, 6C] x-pair: texels (y..y+1, 2k..2k+2), 1-bit select
 #   4 -> [Th*Tw/4, 9C] 2x2 supertile: (2j..2j+2, 2k..2k+2), 2-bit
-TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "1"))
+#  16 -> [Th*Tw/16, 25C] 4x4 supertile: (4j..4j+4, 4k..4k+4), 2x2-bit
+#
+# Packs 2/4 RETIRED round 4 (did not cross the table-size threshold:
+# 84.4 / 83.9 vs 84.7 FPS unpacked) but pack 16 DOES cross it: at 256^2
+# the table is 4096 rows, and 726k-row gather+select+lerp measured
+# 4.23 ms vs 6.68 for the split-2 pack-1 line (tools/
+# measure_supertile.py; 8x8 = 1024 rows loses on select width, 10.5).
+# Default 16; falls back to 1 when Th/Tw are not multiples of 4.
+TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "16"))
+
+# Route the compacted tiers through the Mosaic windowed sampler
+# (ops/texture_kernel.py) when the texture shape supports it. The
+# sampler beats the XLA row gather 3.7x when per-segment texel rows
+# cluster (1.74 vs 6.42 ms at the tier-0.35 count, tools/
+# measure_tex_kernel.py), but the bench scene's segments are UV-
+# INcoherent — 128 px cross ~25 tiny objects; mean per-segment row
+# spread is 120-200 of 256 and mean DISTINCT 8-row slabs is 10-22
+# (tools/measure_ya_spread.py, tools/measure_slab_clusters.py), so the
+# window loop runs ~25 iterations/segment and the frame regressed
+# 11.8 -> 28.2 ms. Opt-in (SR_TEX_WINDOWED=1) for UV-coherent content
+# (single large textured meshes, close-ups) until the adaptive
+# nwin-budget route lands.
+TEX_WINDOWED = _os.environ.get("SR_TEX_WINDOWED", "0") != "0"
 
 
 def _shift2(d, sy: int, sx: int, mode: str):
@@ -173,9 +240,16 @@ def _packed_quad_table(tex: Texture, pack: int):
 
     pack=2: [Th*Tw/2, 6C] — row (y, k) holds texels (y..y+1, 2k..2k+2),
     dx-major within dy. pack=4: [Th*Tw/4, 9C] — row (j, k) holds
-    (2j..2j+2, 2k..2k+2). Same texel values as :func:`_quad_table`, so
-    the select-extracted quads are bit-identical.
+    (2j..2j+2, 2k..2k+2). pack=16: [Th*Tw/16, 25C] — row (j, k) holds
+    the 4x4 supertile's 5x5 patch (4j..4j+4, 4k..4k+4), dy-major. Same
+    texel values as :func:`_quad_table`, so the select-extracted quads
+    are bit-identical. Built once per texture (:data:`_TABLE_CACHE`).
     """
+    return _cached_table(tex, pack,
+                         lambda: _packed_quad_table_build(tex, pack))
+
+
+def _packed_quad_table_build(tex: Texture, pack: int):
     d = tex.data
     th, tw, c = d.shape
     if pack == 2:
@@ -184,6 +258,13 @@ def _packed_quad_table(tex: Texture, pack: int):
                              for sy, sx in shifts], axis=-1)
         t = t[:, ::2, :]                       # [Th, Tw/2, 6C]
         return t.reshape(th * (tw // 2), 6 * c).astype(tex.table_dtype)
+    if pack == 16:
+        shifts = [(sy, sx) for sy in range(5) for sx in range(5)]
+        t = jnp.concatenate([_shift2(d, sy, sx, tex.wrap)
+                             for sy, sx in shifts], axis=-1)
+        t = t[::4, ::4, :]                     # [Th/4, Tw/4, 25C]
+        return t.reshape((th // 4) * (tw // 4),
+                         25 * c).astype(tex.table_dtype)
     assert pack == 4
     shifts = [(sy, sx) for sy in (0, 1, 2) for sx in (0, 1, 2)]
     t = jnp.concatenate([_shift2(d, sy, sx, tex.wrap)
@@ -215,6 +296,34 @@ def _packed_corners(quadp, px, py, c: int, pack: int, i: int):
         return jnp.where(py, b, a)
 
     return at(0, 0), at(0, 1), at(1, 0), at(1, 1)
+
+
+def _supertile_corners(quadp, px, py, c: int, i: int):
+    """pack-16 corner extraction: binary-select the 2x2 corner set at
+    in-supertile position (py, px) in [0, 4)^2 from gathered 5x5-patch
+    rows (dy-major layout). Separable tree — per row dy, pick the x
+    column pair (3 selects each for left/right), then pick the row pair
+    by py (3 selects per corner): 42 selects/channel of exact f32, so
+    results are bit-identical to the pack-1 quad path.
+    px/py: int32 planes broadcastable against quadp[..., 0]."""
+    xb0, xb1 = (px & 1) == 1, (px & 2) == 2
+    yb0, yb1 = (py & 1) == 1, (py & 2) == 2
+
+    def col(dy, dx):
+        return quadp[..., (dy * 5 + dx) * c + i]
+
+    def sel4(v0, v1, v2, v3, b0, b1):
+        return jnp.where(b1, jnp.where(b0, v3, v2), jnp.where(b0, v1, v0))
+
+    a = [sel4(col(dy, 0), col(dy, 1), col(dy, 2), col(dy, 3), xb0, xb1)
+         for dy in range(5)]
+    b = [sel4(col(dy, 1), col(dy, 2), col(dy, 3), col(dy, 4), xb0, xb1)
+         for dy in range(5)]
+    t00 = sel4(a[0], a[1], a[2], a[3], yb0, yb1)
+    t01 = sel4(b[0], b[1], b[2], b[3], yb0, yb1)
+    t10 = sel4(a[1], a[2], a[3], a[4], yb0, yb1)
+    t11 = sel4(b[1], b[2], b[3], b[4], yb0, yb1)
+    return t00, t01, t10, t11
 
 
 def _segment_ranks(scov):
@@ -324,12 +433,42 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     k = COMPACT_SEG
     ns = h * w // k
 
-    scov = jnp.any(covered.reshape(ns, k), axis=1)
+    from .texture_kernel import (SEG_PER_STEP, sample_segments_windowed,
+                                 windowed_prep, windowed_supported,
+                                 windowed_tables)
+    use_win = (TEX_WINDOWED and TEX_TABLE_PACK == 1
+               and windowed_supported(th, tw, c, k))
+    win_tabs = windowed_tables(tex.data, tex.wrap) if use_win else None
+
+    cov_s = covered.reshape(ns, k)
+    scov = jnp.any(cov_s, axis=1)
     lc, off, slot, n_cov = _segment_ranks(scov)
     u_s = u.reshape(ns, k)
     v_s = v.reshape(ns, k)
 
     def tier(cap: int):
+        def windowed(_):
+            # Mosaic windowed sampler: no row gather at all. Covered
+            # pixels match the XLA tier within the cross-compiler
+            # contraction class (tests/test_texture_kernel.py).
+            comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
+            sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
+            cu = u_s[comp_seg]
+            cv = v_s[comp_seg]
+            ccov = cov_s[comp_seg]
+            xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
+                cu, cv, ccov, th=th, tw=tw, wrap=tex.wrap)
+            chans = sample_segments_windowed(
+                win_tabs, xa, dy, cfx, cfy, y0w, nwin,
+                th=th, tw=tw, wrap=tex.wrap)
+            comp = jnp.concatenate(chans, axis=1)       # [cap, C*K]
+            full = comp[sloti]                       # [Ns, C*K] one gather
+            return [full[:, i * k:(i + 1) * k].reshape(h, w)
+                    for i in range(c)]
+
+        if use_win:
+            return windowed
+
         def compacted(_):
             comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
             sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
@@ -350,7 +489,10 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
             xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
             ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
             pack = TEX_TABLE_PACK
-            if pack == 2 and tw % 2 == 0:
+            if pack == 16 and tw % 4 == 0 and th % 4 == 0:
+                ci = (ya >> 2) * (tw // 4) + (xa >> 2)
+                qt = _packed_quad_table(tex, 16)
+            elif pack == 2 and tw % 2 == 0:
                 ci = ya * (tw // 2) + (xa >> 1)
                 qt = _packed_quad_table(tex, 2)
             elif pack == 4 and tw % 2 == 0 and th % 2 == 0:
@@ -369,8 +511,11 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
                      for j in range(s)], axis=0).astype(jnp.float32)
             else:
                 quad = qt[ci].astype(jnp.float32)
-            px = (xa & 1) == 1
-            py = (ya & 1) == 1
+            if pack == 16:
+                px, py = xa & 3, ya & 3
+            else:
+                px = (xa & 1) == 1
+                py = (ya & 1) == 1
             chans = []
             for i in range(c):
                 if pack == 1:
@@ -378,6 +523,9 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
                     t01 = quad[..., c + i]
                     t10 = quad[..., 2 * c + i]
                     t11 = quad[..., 3 * c + i]
+                elif pack == 16:
+                    t00, t01, t10, t11 = _supertile_corners(
+                        quad, px, py, c, i)
                 else:
                     t00, t01, t10, t11 = _packed_corners(
                         quad, px, py, c, pack, i)
@@ -396,8 +544,9 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
         return sample_texture_planes(tex, u, v)
 
     chain = fallback
+    cap_round = SEG_PER_STEP if use_win else 8
     for frac in sorted(cap_fracs, reverse=True):
-        cap = -(-int(frac * ns) // 8) * 8
+        cap = -(-int(frac * ns) // cap_round) * cap_round
         inner = chain
 
         def level(_, cap=cap, inner=inner):

@@ -166,33 +166,103 @@ def test_compacted_sampler_fallback_over_cap():
 
 def test_compacted_sampler_engages():
     """The sparse case must actually take the compacted branch (no silent
-    always-fallback): count quad-table gathers under disable_jit, where
-    lax.cond runs only the selected branch."""
+    always-fallback): count the branch bodies under disable_jit, where
+    lax.cond runs only the selected branch. Runs both routes by forcing
+    TEX_WINDOWED: the XLA quad tier (production default) and the opt-in
+    windowed Mosaic kernel (ops/texture_kernel.py)."""
     from software_renderer_tpu.ops import texture as tex_mod
+    from software_renderer_tpu.ops import texture_kernel as tk_mod
     rng = np.random.default_rng(9)
-    calls = []
-    orig = tex_mod._quad_table
+    quad_calls = []
+    win_calls = []
+    orig_quad = tex_mod._quad_table
+    orig_packed = tex_mod._packed_quad_table
+    orig_sample = tk_mod.sample_segments_windowed
+    orig_win = tex_mod.TEX_WINDOWED
+    orig_pack = tex_mod.TEX_TABLE_PACK
 
-    def spy(tex):
-        calls.append(1)
-        return orig(tex)
+    def spy_quad(tex):
+        quad_calls.append(1)
+        return orig_quad(tex)
 
-    tex_mod._quad_table = spy
+    def spy_packed(tex, pack):
+        quad_calls.append(1)      # any table build counts as one gather
+        return orig_packed(tex, pack)
+
+    def spy_win(*a, **kw):
+        win_calls.append(1)
+        return orig_sample(*a, **kw)
+
+    def run(windowed):
+        # tw=128 so windowed_supported admits the texture (tw must split
+        # into whole 128-lane tiles; 32x32 correctly declines the kernel).
+        # The windowed route requires pack 1 (it replaces the table).
+        tex_mod.TEX_WINDOWED = windowed
+        tex_mod.TEX_TABLE_PACK = 1 if windowed else orig_pack
+        win_calls.clear()
+        quad_calls.clear()
+        with jax.disable_jit():
+            _compacted_case(rng, 16, 256, wrap="repeat", cover_p=0.1,
+                            th=32, tw=128)
+        sparse = (len(win_calls), len(quad_calls))
+        win_calls.clear()
+        quad_calls.clear()
+        # 32x512 -> 128 segments: the windowed path rounds caps up to
+        # SEG_PER_STEP (32), so the frame must hold more covered
+        # segments (64) than the rounded cap for fallback to engage.
+        with jax.disable_jit():
+            _compacted_case(rng, 32, 512, wrap="repeat", cover_p=1.0,
+                            cap_fracs=(0.1, 0.25), th=32, tw=128)
+        return sparse, (len(win_calls), len(quad_calls))
+
+    tex_mod._quad_table = spy_quad
+    tex_mod._packed_quad_table = spy_packed
+    tk_mod.sample_segments_windowed = spy_win
     try:
-        with jax.disable_jit():
-            _compacted_case(rng, 16, 256, wrap="repeat", cover_p=0.1)
-        # compacted branch: 1 call from the compacted gather + 1 from the
-        # reference 'want' recompute in _compacted_case
-        taken_sparse = len(calls)
-        calls.clear()
-        with jax.disable_jit():
-            _compacted_case(rng, 16, 256, wrap="repeat", cover_p=1.0,
-                            cap_fracs=(0.1, 0.25))
-        taken_dense = len(calls)
+        sparse_q, dense_q = run(False)
+        sparse_w, dense_w = run(True)
     finally:
-        tex_mod._quad_table = orig
-    assert taken_sparse == 2
-    assert taken_dense == 2  # fallback also gathers once (+ the 'want')
+        tex_mod._quad_table = orig_quad
+        tex_mod._packed_quad_table = orig_packed
+        tk_mod.sample_segments_windowed = orig_sample
+        tex_mod.TEX_WINDOWED = orig_win
+        tex_mod.TEX_TABLE_PACK = orig_pack
+    # quad route: compacted tier gathers once + the 'want' recompute;
+    # dense fallback also gathers once (+ the 'want').
+    assert sparse_q == (0, 2) and dense_q == (0, 2)
+    # windowed route: sparse takes the kernel (quad only for 'want');
+    # dense exceeds every rounded cap -> full-frame quad fallback.
+    assert sparse_w == (1, 1) and dense_w == (0, 2)
+
+
+def test_pack_variants_bit_equal():
+    """Every quad-table packing (2/4 pair-packs, 16 = 4x4 supertile) is a
+    pure relayout + exact-f32 select tree: both the compacted tier and
+    the full-frame path must be BIT-equal to the pack-1 classic layout,
+    everywhere (uncovered lanes included — they sample the same clamped
+    slots whatever the table geometry)."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    orig = tex_mod.TEX_TABLE_PACK
+    outs = {}
+    try:
+        for pack in (1, 2, 4, 16):
+            tex_mod.TEX_TABLE_PACK = pack
+            rng = np.random.default_rng(11)
+            got, want, covered = _compacted_case(rng, 16, 256,
+                                                 wrap="repeat",
+                                                 th=32, tw=128)
+            outs[pack] = (got, want)
+    finally:
+        tex_mod.TEX_TABLE_PACK = orig
+    ref_got, ref_want = outs[1]
+    for pack in (2, 4, 16):
+        got, want = outs[pack]
+        for g, rg in zip(got, ref_got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(rg),
+                                          err_msg=f"compacted pack {pack}")
+        for w_, rw in zip(want, ref_want):
+            np.testing.assert_array_equal(np.asarray(w_), np.asarray(rw),
+                                          err_msg=f"full-frame pack {pack}")
 
 
 def test_compacted_sampler_single_channel_finite():

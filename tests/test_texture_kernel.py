@@ -1,0 +1,161 @@
+"""Windowed Mosaic texture sampler (ops/texture_kernel.py) vs the XLA
+sampler: covered lanes must match within the cross-compiler
+FMA-contraction class (the gathers move exact f32 texels; only the lerp
+contraction can differ between Mosaic/interpret and XLA fusions —
+documented ulp class, same as tests/test_shading.py's compacted cases).
+
+Reference parity: the reference drops its UVs and never samples
+(App.swift:129-133); this path implements the north star's bilinear
+texturing (BASELINE.json configs 2/4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from software_renderer_tpu.ops.texture import (
+    Texture, sample_texture_planes, sample_texture_planes_compacted)
+from software_renderer_tpu.ops.texture_kernel import (
+    WIN_STRIDE, sample_segments_windowed, windowed_prep,
+    windowed_supported, windowed_tables)
+
+# Lerp-of-exact-texels cross-compiler contraction class: texels in
+# [0, 1), fractions in [0, 1) -> |err| <= a few ulps of 1.
+ULP = 1e-6
+
+
+def _case(rng, cap, th=256, tw=256, c=3, wrap="repeat", seam=True,
+          cover_p=0.8):
+    data = jnp.asarray(rng.random((th, tw, c)), jnp.float32)
+    v0 = rng.uniform(0, 1, size=(cap, 1))
+    spread = rng.choice([0.01, 0.08, 0.9], size=(cap, 1), p=[0.7, 0.2, 0.1])
+    v = v0 + rng.uniform(0, 1, size=(cap, 128)) * spread
+    v = v % 1.0 if seam else np.clip(v, 0, 0.999)
+    u = rng.uniform(0, 1, size=(cap, 128))
+    cov = jnp.asarray(rng.random((cap, 128)) < cover_p)
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    # garbage UVs on uncovered lanes must not disturb covered lanes
+    u = jnp.where(cov, u, jnp.float32(1e30))
+    v = jnp.where(cov, v, jnp.float32(-3e7))
+    return data, u, v, cov
+
+
+def _run_windowed(data, u, v, cov, wrap):
+    th, tw, c = data.shape
+    tabs = windowed_tables(data, wrap)
+    xa, dy, fx, fy, y0, nwin = windowed_prep(u, v, cov, th=th, tw=tw,
+                                             wrap=wrap)
+    return sample_segments_windowed(tabs, xa, dy, fx, fy, y0, nwin,
+                                    th=th, tw=tw, wrap=wrap,
+                                    interpret=True)
+
+
+@pytest.mark.parametrize("wrap", ["repeat", "clamp"])
+def test_windowed_matches_xla_covered(wrap):
+    rng = np.random.default_rng(3)
+    data, u, v, cov = _case(rng, cap=64, wrap=wrap)
+    got = _run_windowed(data, u, v, cov, wrap)
+    want = sample_texture_planes(Texture(data=data, wrap=wrap), u, v)
+    m = np.asarray(cov)
+    assert m.any() and not m.all()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[m], np.asarray(w)[m],
+                                   atol=ULP)
+
+
+def test_windowed_multi_window_and_seam():
+    """Wide-spread segments (several window iterations) and v-wrap-seam
+    segments (window restarts past row th) stay exact."""
+    rng = np.random.default_rng(4)
+    th, tw, c = 256, 256, 2
+    data = jnp.asarray(rng.random((th, tw, c)), jnp.float32)
+    cap = 32
+    # all-covered, v uniform over [0,1): spreads ~255 rows
+    u = jnp.asarray(rng.uniform(0, 1, size=(cap, 128)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 1, size=(cap, 128)), jnp.float32)
+    # plus seam rows: v in [0.99, 1.01) % 1
+    v = v.at[:8].set((v[:8] * 0.02 + 0.99) % 1.0)
+    cov = jnp.ones((cap, 128), bool)
+    got = _run_windowed(data, u, v, cov, "repeat")
+    want = sample_texture_planes(Texture(data=data), u, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=ULP)
+
+
+@pytest.mark.parametrize("th,tw,c", [(128, 128, 1), (64, 512, 3),
+                                     (256, 256, 4)])
+def test_windowed_shapes(th, tw, c):
+    rng = np.random.default_rng(5)
+    assert windowed_supported(th, tw, c, 128)
+    data, u, v, cov = _case(rng, cap=32, th=th, tw=tw, c=c)
+    got = _run_windowed(data, u, v, cov, "repeat")
+    want = sample_texture_planes(Texture(data=data), u, v)
+    m = np.asarray(cov)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[m], np.asarray(w)[m],
+                                   atol=ULP)
+
+
+def test_windowed_supported_gates():
+    assert not windowed_supported(256, 100, 3, 128)   # tw not lane-tiled
+    assert not windowed_supported(100, 256, 3, 128)   # th not 8-aligned
+    assert not windowed_supported(256, 256, 3, 64)    # segment width
+    assert not windowed_supported(1024, 1024, 4, 128)  # VMEM budget
+    assert windowed_supported(256, 256, 3, 128)
+
+
+def test_compacted_sampler_windowed_equals_xla_path():
+    """The full compacted entry point routed through the kernel equals
+    the XLA row-gather route on covered pixels (ulp class)."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    rng = np.random.default_rng(6)
+    h, w = 16, 256
+    data = jnp.asarray(rng.random((256, 256, 3)), jnp.float32)
+    tex = Texture(data=data)
+    u = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+    covered = jnp.asarray(rng.random((h, w)) < 0.3)
+    assert tex_mod.TEX_WINDOWED
+    got = sample_texture_planes_compacted(tex, u, v, covered)
+    old = tex_mod.TEX_WINDOWED
+    tex_mod.TEX_WINDOWED = False
+    try:
+        want = sample_texture_planes_compacted(tex, u, v, covered)
+    finally:
+        tex_mod.TEX_WINDOWED = old
+    m = np.asarray(covered)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[m], np.asarray(w_)[m],
+                                   atol=ULP)
+
+
+def test_windowed_texture_gradients_flow():
+    """Texture-training paths differentiate through the sampler; the
+    custom VJP's XLA twin must give the same d(loss)/d(texture) as the
+    XLA route (same corner weights on covered pixels)."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    rng = np.random.default_rng(8)
+    h, w = 8, 256
+    u = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+    covered = jnp.asarray(rng.random((h, w)) < 0.4)
+    data0 = jnp.asarray(rng.random((256, 256, 3)), jnp.float32)
+
+    def loss(data, use_win):
+        old = tex_mod.TEX_WINDOWED
+        tex_mod.TEX_WINDOWED = use_win
+        try:
+            planes = sample_texture_planes_compacted(
+                Texture(data=data), u, v, covered)
+        finally:
+            tex_mod.TEX_WINDOWED = old
+        return sum(jnp.sum(jnp.where(covered, p, 0.0) ** 2)
+                   for p in planes)
+
+    g_win = jax.grad(lambda d: loss(d, True))(data0)
+    g_xla = jax.grad(lambda d: loss(d, False))(data0)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_xla),
+                               atol=2e-5, rtol=1e-5)
+    assert float(jnp.max(jnp.abs(g_win))) > 0.0
