@@ -15,6 +15,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _effective_pack(pack: int, th: int, tw: int) -> int:
+    """The packing the table builders can actually honor for this shape
+    (packs need even/4-divisible texture dims); 1 is always valid."""
+    if pack == 16 and th % 4 == 0 and tw % 4 == 0:
+        return 16
+    if pack == 2 and tw % 2 == 0:
+        return 2
+    if pack == 4 and th % 2 == 0 and tw % 2 == 0:
+        return 4
+    return 1
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Texture:
@@ -25,6 +37,24 @@ class Texture:
     with 2D indices (~7 ms at 1080p), and a float16 table LOSES ~2.8 ms —
     the narrow-minor [H, W, 12] f16->f32 conversion after the gather is a
     padded relayout that costs more than the halved row bytes save.
+
+    table / table_pack: the precomputed bilinear gather table, an
+    EXPLICIT pytree leaf built once at construction for concrete data
+    (replacing round 4's hidden module-global id-keyed cache — the
+    table's lifetime is now the texture's own). Table construction is a
+    chain of rolls + concat + strided slice: when the texture reaches
+    the sampler as a jit CLOSURE constant (the steady-state render loop
+    — bench.py closes over the RenderPass and scans frames), those ops
+    would land INSIDE the traced frame body, XLA refuses to
+    constant-fold them at this size, and the table would be rebuilt
+    every frame (~2.3 ms/frame for pack 16, tools/measure_pack16.py
+    const-table A/B). TRACED data (training w.r.t. texture) leaves
+    ``table=None`` and the samplers build in-graph so gradients flow.
+    table_pack records which :data:`TEX_TABLE_PACK` layout ``table``
+    holds (0 = none); samplers needing a different pack build in-graph.
+    ``dataclasses.replace(tex, data=...)`` must also pass ``table=None``
+    (the copied table would describe the old texels); construct a fresh
+    ``Texture(data=...)`` instead.
     """
 
     data: jax.Array
@@ -34,6 +64,23 @@ class Texture:
                                   metadata=dict(static=True))
     table_dtype: str = dataclasses.field(default="float32",
                                          metadata=dict(static=True))
+    table: jax.Array | None = None
+    table_pack: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+
+    def __post_init__(self):
+        # Runs at construction AND at every pytree unflatten (jit/vmap
+        # boundaries reconstruct via the constructor): only the first
+        # concrete construction builds — unflattened copies carry the
+        # table through, traced data skips.
+        if (self.table is None and self.filter == "bilinear"
+                and not isinstance(self.data, jax.core.Tracer)):
+            th, tw = self.data.shape[0], self.data.shape[1]
+            pack = _effective_pack(TEX_TABLE_PACK, th, tw)
+            with jax.ensure_compile_time_eval():
+                self.table = (_quad_table_build(self) if pack == 1 else
+                              _packed_quad_table_build(self, pack))
+            self.table_pack = pack
 
 
 def _wrap_coords(i, n, mode):
@@ -44,45 +91,20 @@ def _wrap_coords(i, n, mode):
     raise ValueError(f"unknown wrap mode {mode!r}")
 
 
-# Eagerly-built table cache. Table construction is a chain of rolls +
-# concat + strided slice: when the texture reaches the sampler as a jit
-# CLOSURE constant (the steady-state render loop — bench.py closes over
-# the RenderPass and scans frames), those ops land INSIDE the traced
-# frame body, XLA refuses to constant-fold them at this size, and the
-# table is rebuilt every frame (~2.3 ms/frame for pack 16, measured in
-# tools/measure_pack16.py const-table A/B). Detect the concrete case,
-# build once under ensure_compile_time_eval, and cache keyed on the
-# data array's identity (a strong ref to the array guards id reuse).
-# Traced textures (training w.r.t. texture) keep the in-graph build so
-# gradients flow.
-_TABLE_CACHE: dict = {}
-
-
-def _cached_table(tex: Texture, pack: int, build):
-    if isinstance(tex.data, jax.core.Tracer):
-        return build()
-    key = (id(tex.data), pack, tex.wrap, tex.table_dtype)
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is tex.data:
-        return hit[1]
-    with jax.ensure_compile_time_eval():
-        tab = build()
-    if len(_TABLE_CACHE) >= 64:   # bound memory across many test textures
-        _TABLE_CACHE.clear()
-    _TABLE_CACHE[key] = (tex.data, tab)
-    return tab
-
-
 def _quad_table(tex: Texture):
     """[Th*Tw, 4C] table where row (y, x) holds the 2x2 texel neighborhood
     [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)] with the wrap mode baked in.
 
     Bilinear sampling then needs ONE row gather per pixel instead of four
     scattered texel gathers — a 4x reduction in gather count, which is
-    what TPU gather throughput is proportional to. Built once per texture
-    (see :data:`_TABLE_CACHE`); in-graph only for traced texture data.
+    what TPU gather throughput is proportional to. Served from the
+    texture's precomputed ``table`` leaf when it holds the pack-1
+    layout; built in-graph otherwise (traced data, or a pack mismatch
+    after flipping :data:`TEX_TABLE_PACK` post-construction).
     """
-    return _cached_table(tex, 1, lambda: _quad_table_build(tex))
+    if tex.table is not None and tex.table_pack == 1:
+        return tex.table
+    return _quad_table_build(tex)
 
 
 def _quad_table_build(tex: Texture):
@@ -202,13 +224,17 @@ TEX_GATHER_SPLIT = int(_os.environ.get("SR_TEX_SPLIT", "2"))
 #   4 -> [Th*Tw/4, 9C] 2x2 supertile: (2j..2j+2, 2k..2k+2), 2-bit
 #  16 -> [Th*Tw/16, 25C] 4x4 supertile: (4j..4j+4, 4k..4k+4), 2x2-bit
 #
-# Packs 2/4 RETIRED round 4 (did not cross the table-size threshold:
-# 84.4 / 83.9 vs 84.7 FPS unpacked) but pack 16 DOES cross it: at 256^2
-# the table is 4096 rows, and 726k-row gather+select+lerp measured
-# 4.23 ms vs 6.68 for the split-2 pack-1 line (tools/
-# measure_supertile.py; 8x8 = 1024 rows loses on select width, 10.5).
-# Default 16; falls back to 1 when Th/Tw are not multiples of 4.
-TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "16"))
+# ALL packs RETIRED as defaults (rounds 4-5). Packs 2/4 did not cross
+# the table-size threshold (84.4 / 83.9 vs 84.7 FPS unpacked). Pack 16
+# wins its STANDALONE microbench (4.23 vs 6.68 ms, tools/
+# measure_supertile.py) but LOSES the full pipeline: the round-4 on-chip
+# A/B measured 65.5 FPS shipped-pack-16 vs 84.8 FPS pack-1 — the 75-f32
+# rows (vs 12) plus 42 selects/channel cost ~3.5 ms/frame in the fused
+# context the microbench never sees. This was the round-4 bench
+# regression (VERDICT r4 item 1). Default 1; the knob stays for
+# different table geometries. Defaults change ONLY with a full-animation
+# in-pipeline A/B recorded in docs/PERF.md (CLAUDE.md shipping rule).
+TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "1"))
 
 # Route the compacted tiers through the Mosaic windowed sampler
 # (ops/texture_kernel.py) when the texture shape supports it. The
@@ -219,10 +245,28 @@ TEX_TABLE_PACK = int(_os.environ.get("SR_TEX_PACK", "16"))
 # spread is 120-200 of 256 and mean DISTINCT 8-row slabs is 10-22
 # (tools/measure_ya_spread.py, tools/measure_slab_clusters.py), so the
 # window loop runs ~25 iterations/segment and the frame regressed
-# 11.8 -> 28.2 ms. Opt-in (SR_TEX_WINDOWED=1) for UV-coherent content
-# (single large textured meshes, close-ups) until the adaptive
-# nwin-budget route lands.
-TEX_WINDOWED = _os.environ.get("SR_TEX_WINDOWED", "0") != "0"
+# 11.8 -> 28.2 ms. PER-SEGMENT hybrid routing is bounded out too: the
+# XLA gather residual keeps its ~4 ms count-independent floor, so
+# peeling the <= 2-slab segments (2-17% of config4's, tools/
+# measure_slab_clusters.py r5) saves only that share of the ~1 ms
+# slope. Hence modes:
+#   "0"        off (XLA row gather always)
+#   "1"        force the kernel (UV-coherent content you control)
+#   "adaptive" per-FRAME lax.cond: the kernel runs when the measured
+#              total window count fits TEX_WIN_AVG_BUDGET * cap (the
+#              regime where it wins outright and the XLA gather — and
+#              its floor — can be skipped ENTIRELY); otherwise the XLA
+#              route runs unchanged. Window counts come from
+#              windowed_prep's seam-aware spans, computed in XLA
+#              either way (~trivial next to the gather).
+TEX_WINDOWED = _os.environ.get("SR_TEX_WINDOWED", "0")
+
+# Adaptive-mode budget: engage the kernel when total windows <= budget
+# * cap, i.e. the AVERAGE window sweep per compacted segment fits. The
+# kernel costs ~0.16 us/window and the XLA line ~4.9-6.4 ms at tier
+# caps (floor + slope), so break-even is ~5-7 windows/segment; 4 is
+# conservatively below it (tools/measure_tex_kernel.py constants).
+TEX_WIN_AVG_BUDGET = float(_os.environ.get("SR_TEX_WIN_AVG", "4"))
 
 
 def _shift2(d, sy: int, sx: int, mode: str):
@@ -243,10 +287,12 @@ def _packed_quad_table(tex: Texture, pack: int):
     (2j..2j+2, 2k..2k+2). pack=16: [Th*Tw/16, 25C] — row (j, k) holds
     the 4x4 supertile's 5x5 patch (4j..4j+4, 4k..4k+4), dy-major. Same
     texel values as :func:`_quad_table`, so the select-extracted quads
-    are bit-identical. Built once per texture (:data:`_TABLE_CACHE`).
+    are bit-identical. Served from the texture's precomputed ``table``
+    leaf on a pack match; built in-graph otherwise.
     """
-    return _cached_table(tex, pack,
-                         lambda: _packed_quad_table_build(tex, pack))
+    if tex.table is not None and tex.table_pack == pack:
+        return tex.table
+    return _packed_quad_table_build(tex, pack)
 
 
 def _packed_quad_table_build(tex: Texture, pack: int):
@@ -436,9 +482,13 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     from .texture_kernel import (SEG_PER_STEP, sample_segments_windowed,
                                  windowed_prep, windowed_supported,
                                  windowed_tables)
-    use_win = (TEX_WINDOWED and TEX_TABLE_PACK == 1
-               and windowed_supported(th, tw, c, k))
-    win_tabs = windowed_tables(tex.data, tex.wrap) if use_win else None
+    mode = TEX_WINDOWED
+    if mode is True:        # tests/legacy monkeypatching with a bool
+        mode = "1"
+    mode = "0" if mode in (False, None) else str(mode)
+    win_capable = (mode in ("1", "adaptive") and TEX_TABLE_PACK == 1
+                   and windowed_supported(th, tw, c, k))
+    win_tabs = windowed_tables(tex.data, tex.wrap) if win_capable else None
 
     cov_s = covered.reshape(ns, k)
     scov = jnp.any(cov_s, axis=1)
@@ -447,29 +497,7 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     v_s = v.reshape(ns, k)
 
     def tier(cap: int):
-        def windowed(_):
-            # Mosaic windowed sampler: no row gather at all. Covered
-            # pixels match the XLA tier within the cross-compiler
-            # contraction class (tests/test_texture_kernel.py).
-            comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
-            sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
-            cu = u_s[comp_seg]
-            cv = v_s[comp_seg]
-            ccov = cov_s[comp_seg]
-            xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
-                cu, cv, ccov, th=th, tw=tw, wrap=tex.wrap)
-            chans = sample_segments_windowed(
-                win_tabs, xa, dy, cfx, cfy, y0w, nwin,
-                th=th, tw=tw, wrap=tex.wrap)
-            comp = jnp.concatenate(chans, axis=1)       # [cap, C*K]
-            full = comp[sloti]                       # [Ns, C*K] one gather
-            return [full[:, i * k:(i + 1) * k].reshape(h, w)
-                    for i in range(c)]
-
-        if use_win:
-            return windowed
-
-        def compacted(_):
+        def run(_):
             comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
             sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
             # Per-pixel base math runs in COMPACTED space: only u/v are
@@ -480,71 +508,109 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
             # [H, W] intermediates at 1080p, tools/measure_tex_caps.py).
             cu = u_s[comp_seg]                       # [cap, K]
             cv = v_s[comp_seg]
-            x = cu * tw - 0.5
-            y = cv * th - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            cfx = x - x0
-            cfy = y - y0
-            xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
-            ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
-            pack = TEX_TABLE_PACK
-            if pack == 16 and tw % 4 == 0 and th % 4 == 0:
-                ci = (ya >> 2) * (tw // 4) + (xa >> 2)
-                qt = _packed_quad_table(tex, 16)
-            elif pack == 2 and tw % 2 == 0:
-                ci = ya * (tw // 2) + (xa >> 1)
-                qt = _packed_quad_table(tex, 2)
-            elif pack == 4 and tw % 2 == 0 and th % 2 == 0:
-                ci = (ya >> 1) * (tw // 2) + (xa >> 1)
-                qt = _packed_quad_table(tex, 4)
+
+            def xla_comp(_):
+                return _tier_xla_comp(cu, cv, cap)
+
+            if not win_capable:
+                comp = xla_comp(None)
             else:
-                pack = 1
-                ci = ya * tw + xa                    # [cap, K] (2D = the
-                qt = _quad_table(tex)                # fast gather)
-            s = TEX_GATHER_SPLIT
-            if s > 1 and cap % s == 0:
-                # Partitioned issue (see TEX_GATHER_SPLIT): same rows,
-                # same order, S independent gathers.
-                quad = jnp.concatenate(
-                    [qt[ci[j * (cap // s):(j + 1) * (cap // s)]]
-                     for j in range(s)], axis=0).astype(jnp.float32)
-            else:
-                quad = qt[ci].astype(jnp.float32)
-            if pack == 16:
-                px, py = xa & 3, ya & 3
-            else:
-                px = (xa & 1) == 1
-                py = (ya & 1) == 1
-            chans = []
-            for i in range(c):
-                if pack == 1:
-                    t00 = quad[..., i]
-                    t01 = quad[..., c + i]
-                    t10 = quad[..., 2 * c + i]
-                    t11 = quad[..., 3 * c + i]
-                elif pack == 16:
-                    t00, t01, t10, t11 = _supertile_corners(
-                        quad, px, py, c, i)
+                ccov = cov_s[comp_seg]
+                xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
+                    cu, cv, ccov, th=th, tw=tw, wrap=tex.wrap)
+
+                def win_comp(_):
+                    # Mosaic windowed sampler: no XLA row gather (and no
+                    # ~4 ms gather floor) at all. Covered pixels match
+                    # the XLA tier within the cross-compiler contraction
+                    # class (tests/test_texture_kernel.py).
+                    chans = sample_segments_windowed(
+                        win_tabs, xa, dy, cfx, cfy, y0w, nwin,
+                        th=th, tw=tw, wrap=tex.wrap)
+                    return jnp.concatenate(chans, axis=1)   # [cap, C*K]
+
+                if mode == "1":
+                    comp = win_comp(None)
                 else:
-                    t00, t01, t10, t11 = _packed_corners(
-                        quad, px, py, c, pack, i)
-                # Identical lerp expression to sample_texture_planes.
-                top = t00 + (t01 - t00) * cfx
-                bot = t10 + (t11 - t10) * cfx
-                chans.append(top + (bot - top) * cfy)   # [cap, K]
-            comp = jnp.concatenate(chans, axis=1)       # [cap, C*K]
+                    # Adaptive: the kernel costs ~0.16 us per window
+                    # sweep, so its frame cost is the TOTAL window
+                    # count (duplicate pad slots included — they run
+                    # too); engage it only when that total fits the
+                    # budget where it beats the XLA gather outright
+                    # (see TEX_WIN_AVG_BUDGET). UV-incoherent frames
+                    # (config4: 90-254k windows, tools/
+                    # measure_slab_clusters.py) take the XLA branch.
+                    total = jnp.sum(nwin.astype(jnp.float32))
+                    comp = jax.lax.cond(
+                        total <= TEX_WIN_AVG_BUDGET * cap,
+                        win_comp, xla_comp, None)
             full = comp[sloti]                       # [Ns, C*K] one gather
             return [full[:, i * k:(i + 1) * k].reshape(h, w)
                     for i in range(c)]
 
-        return compacted
+        return run
+
+    def _tier_xla_comp(cu, cv, cap: int):
+        x = cu * tw - 0.5
+        y = cv * th - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        cfx = x - x0
+        cfy = y - y0
+        xa = _wrap_coords(x0.astype(jnp.int32), tw, tex.wrap)
+        ya = _wrap_coords(y0.astype(jnp.int32), th, tex.wrap)
+        pack = TEX_TABLE_PACK
+        if pack == 16 and tw % 4 == 0 and th % 4 == 0:
+            ci = (ya >> 2) * (tw // 4) + (xa >> 2)
+            qt = _packed_quad_table(tex, 16)
+        elif pack == 2 and tw % 2 == 0:
+            ci = ya * (tw // 2) + (xa >> 1)
+            qt = _packed_quad_table(tex, 2)
+        elif pack == 4 and tw % 2 == 0 and th % 2 == 0:
+            ci = (ya >> 1) * (tw // 2) + (xa >> 1)
+            qt = _packed_quad_table(tex, 4)
+        else:
+            pack = 1
+            ci = ya * tw + xa                    # [cap, K] (2D = the
+            qt = _quad_table(tex)                # fast gather)
+        s = TEX_GATHER_SPLIT
+        if s > 1 and cap % s == 0:
+            # Partitioned issue (see TEX_GATHER_SPLIT): same rows,
+            # same order, S independent gathers.
+            quad = jnp.concatenate(
+                [qt[ci[j * (cap // s):(j + 1) * (cap // s)]]
+                 for j in range(s)], axis=0).astype(jnp.float32)
+        else:
+            quad = qt[ci].astype(jnp.float32)
+        if pack == 16:
+            px, py = xa & 3, ya & 3
+        else:
+            px = (xa & 1) == 1
+            py = (ya & 1) == 1
+        chans = []
+        for i in range(c):
+            if pack == 1:
+                t00 = quad[..., i]
+                t01 = quad[..., c + i]
+                t10 = quad[..., 2 * c + i]
+                t11 = quad[..., 3 * c + i]
+            elif pack == 16:
+                t00, t01, t10, t11 = _supertile_corners(
+                    quad, px, py, c, i)
+            else:
+                t00, t01, t10, t11 = _packed_corners(
+                    quad, px, py, c, pack, i)
+            # Identical lerp expression to sample_texture_planes.
+            top = t00 + (t01 - t00) * cfx
+            bot = t10 + (t11 - t10) * cfx
+            chans.append(top + (bot - top) * cfy)   # [cap, K]
+        return jnp.concatenate(chans, axis=1)       # [cap, C*K]
 
     def fallback(_):
         return sample_texture_planes(tex, u, v)
 
     chain = fallback
-    cap_round = SEG_PER_STEP if use_win else 8
+    cap_round = SEG_PER_STEP if win_capable else 8
     for frac in sorted(cap_fracs, reverse=True):
         cap = -(-int(frac * ns) // cap_round) * cap_round
         inner = chain

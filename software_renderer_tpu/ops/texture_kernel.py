@@ -100,6 +100,24 @@ def windowed_prep(u, v, cov, *, th: int, tw: int, wrap: str):
     ops/texture.py:sample_texture_planes so covered texels and fractions
     are bit-identical to the XLA path.
 
+    The window base is SEAM-AWARE (round 5): the kernel walks windows
+    circularly from ``y0`` (window w covers texel rows ``(y0 + 8w) mod
+    th`` ..+8), so the right base is the occupied 8-row slab that
+    minimizes the circular span over the segment's covered slabs — i.e.
+    the slab just past the largest circular gap. The previous min-
+    covered-row base made a ``wrap='repeat'`` segment straddling the
+    v-seam (rows near 0 AND near th-1) walk essentially the whole
+    texture (``nwin ~ th/8``, ADVICE r4); the span-minimizing base walks
+    exactly the occupied arc (seam case: nwin ~ 2). Exact for clamp
+    too — the walk's row arithmetic is mod th either way. Cost:
+    O(S^2) per segment for S = th/8 slabs via one [cap, S] occupancy
+    reduce + a [cap, S, S] masked max against a static span matrix
+    (S = 32 at th = 256 — trivially VPU-fused next to the base math).
+
+    Segments with no covered lane return ``nwin = 0`` (the kernel's
+    window loop does not run; its output lanes are zero and the caller
+    discards them).
+
     Returns (xa, dy, fx, fy, y0, nwin) per :func:`sample_segments_windowed`.
     """
     x = u * tw - 0.5
@@ -114,10 +132,18 @@ def windowed_prep(u, v, cov, *, th: int, tw: int, wrap: str):
     else:
         xa = jnp.clip(x0.astype(jnp.int32), 0, tw - 1)
         ya = jnp.clip(y0f.astype(jnp.int32), 0, th - 1)
-    ymin = jnp.min(jnp.where(cov, ya, th - 1), axis=1)
-    y0 = (ymin // 8) * 8
+    s = th // WIN_STRIDE
+    sidx = jnp.arange(s, dtype=jnp.int32)
+    slab = ya // WIN_STRIDE                             # [cap, K] in [0, s)
+    occ = jnp.any(cov[:, :, None] & (slab[:, :, None] == sidx), axis=1)
+    # span[seg, b] = max over occupied slabs of (slab - b) mod s; -1 when
+    # the segment has no covered lane at all.
+    smat = jnp.mod(sidx[None, :] - sidx[:, None], s)    # [base, slab]
+    span = jnp.max(jnp.where(occ[:, None, :], smat[None], -1), axis=2)
+    base = jnp.argmin(jnp.where(occ, span, s + 1), axis=1).astype(jnp.int32)
+    y0 = base * WIN_STRIDE
     dy = jnp.mod(ya - y0[:, None], th)
-    nwin = jnp.max(jnp.where(cov, dy, 0), axis=1) // WIN_STRIDE + 1
+    nwin = jnp.take_along_axis(span, base[:, None], axis=1)[:, 0] + 1
     return xa, dy, fx, fy, y0, nwin
 
 
