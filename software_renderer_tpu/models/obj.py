@@ -72,6 +72,12 @@ def load_obj(path: str, abs_normal_colors: bool = True) -> Mesh:
                     tri_indices += [corner_ids[0], corner_ids[k],
                                     corner_ids[k + 1]]
 
+    if not tri_indices:
+        # A readable file that yields no geometry (wrong format, or an
+        # OBJ with no faces) must fail HERE with a clear message, not
+        # propagate an empty mesh into rendering.
+        raise ValueError(f"{path!r} contains no OBJ face data "
+                         f"({len(positions)} vertices, 0 faces)")
     pos = np.asarray(out_pos, np.float32)
     nrm = np.asarray(out_nrm, np.float32)
     if not normals or not np.any(nrm):

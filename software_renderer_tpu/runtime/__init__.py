@@ -102,6 +102,11 @@ def load_obj(path: str, abs_normal_colors: bool = True):
                         uvs.ctypes.data, indices.ctypes.data)
     finally:
         lib.sr_obj_free(handle)
+    if ni.value == 0:
+        # Mirror the Python fallback's contract (models/obj.py): a
+        # readable file with no face data raises, never an empty mesh.
+        raise ValueError(f"{path!r} contains no OBJ face data "
+                         f"({nv.value} vertices, 0 faces)")
     if not np.any(normals):
         normals = compute_vertex_normals(positions,
                                          indices.reshape(-1, 3))

@@ -93,6 +93,26 @@ def test_obj_roundtrip(tmp_path):
                                       np.asarray(back.indices))
 
 
+def test_obj_no_geometry_raises(tmp_path):
+    """A readable file with no OBJ face data must raise a clear error
+    (never return an empty mesh), in BOTH loaders — the Python parser
+    and the C++ runtime path share the contract."""
+    p = str(tmp_path / "not_an.obj")
+    with open(p, "w") as f:
+        f.write("# comment only\nroot:x:0:0:/root\n")
+    with pytest.raises(ValueError, match="no OBJ face data"):
+        load_obj(p)
+    if runtime.available():
+        with pytest.raises(ValueError, match="no OBJ face data"):
+            runtime.load_obj(p)
+    # vertices but no faces is still no geometry
+    p2 = str(tmp_path / "pts.obj")
+    with open(p2, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\n")
+    with pytest.raises(ValueError, match="no OBJ face data"):
+        load_obj(p2)
+
+
 def test_obj_computed_normals(tmp_path):
     positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     tris = np.array([[0, 1, 2]])
