@@ -480,8 +480,8 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     ns = h * w // k
 
     from .texture_kernel import (SEG_PER_STEP, sample_segments_windowed,
-                                 windowed_prep, windowed_supported,
-                                 windowed_tables)
+                                 windowed_count, windowed_prep,
+                                 windowed_supported, windowed_tables)
     mode = TEX_WINDOWED
     if mode is True:        # tests/legacy monkeypatching with a bool
         mode = "1"
@@ -495,6 +495,13 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
     lc, off, slot, n_cov = _segment_ranks(scov)
     u_s = u.reshape(ns, k)
     v_s = v.reshape(ns, k)
+    # Adaptive predicate: the seam-aware window count is a per-SEGMENT
+    # quantity — compute it once on the [Ns, K] layout and let each
+    # tier gather its compacted slots' counts (sum of tier caps is
+    # ~1.6x Ns at the production ladder, so computing per tier repeats
+    # the [*, K] work that many times over).
+    count_all = (windowed_count(v_s, cov_s, th=th, wrap=tex.wrap)
+                 if win_capable and mode == "adaptive" else None)
 
     def tier(cap: int):
         def run(_):
@@ -516,14 +523,16 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
                 comp = xla_comp(None)
             else:
                 ccov = cov_s[comp_seg]
-                xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
-                    cu, cv, ccov, th=th, tw=tw, wrap=tex.wrap)
 
                 def win_comp(_):
                     # Mosaic windowed sampler: no XLA row gather (and no
                     # ~4 ms gather floor) at all. Covered pixels match
                     # the XLA tier within the cross-compiler contraction
-                    # class (tests/test_texture_kernel.py).
+                    # class (tests/test_texture_kernel.py). The full
+                    # index prep runs INSIDE the branch — only the taken
+                    # branch pays it.
+                    xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
+                        cu, cv, ccov, th=th, tw=tw, wrap=tex.wrap)
                     chans = sample_segments_windowed(
                         win_tabs, xa, dy, cfx, cfy, y0w, nwin,
                         th=th, tw=tw, wrap=tex.wrap)
@@ -540,7 +549,11 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
                     # (see TEX_WIN_AVG_BUDGET). UV-incoherent frames
                     # (config4: 90-254k windows, tools/
                     # measure_slab_clusters.py) take the XLA branch.
-                    total = jnp.sum(nwin.astype(jnp.float32))
+                    # The unconditional cost is one [cap] gather of the
+                    # shared per-segment counts + this sum — the first
+                    # A/B's 1.27 ms prep-as-predicate overhead is what
+                    # this replaces (docs/PERF.md r5).
+                    total = jnp.sum(count_all[comp_seg].astype(jnp.float32))
                     comp = jax.lax.cond(
                         total <= TEX_WIN_AVG_BUDGET * cap,
                         win_comp, xla_comp, None)
@@ -608,6 +621,40 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
 
     def fallback(_):
         return sample_texture_planes(tex, u, v)
+
+    if win_capable:
+        xla_fallback = fallback
+
+        def win_full(_):
+            # Full-coverage frames (coverage beyond the largest tier)
+            # are ALSO the coherent content class the kernel was built
+            # for — a screen-filling textured surface. In full segment
+            # space there is nothing to compact: the kernel walks every
+            # row segment directly and the whole-frame XLA row gather
+            # (and its ~2.5-2.9 ms issue floor, tools/
+            # profile_gather_floor.py) is skipped entirely. Segments
+            # are padded to the kernel's grid-step multiple with
+            # covered=False rows (nwin = 0 -> their window loop does
+            # not run).
+            ns_pad = -(-ns // SEG_PER_STEP) * SEG_PER_STEP
+            pad = ns_pad - ns
+            us_p = jnp.pad(u_s, ((0, pad), (0, 0)))
+            vs_p = jnp.pad(v_s, ((0, pad), (0, 0)))
+            cov_p = jnp.pad(cov_s, ((0, pad), (0, 0)))
+            xa, dy, cfx, cfy, y0w, nwin = windowed_prep(
+                us_p, vs_p, cov_p, th=th, tw=tw, wrap=tex.wrap)
+            chans = sample_segments_windowed(
+                win_tabs, xa, dy, cfx, cfy, y0w, nwin,
+                th=th, tw=tw, wrap=tex.wrap)
+            return [ch[:ns].reshape(h, w) for ch in chans]
+
+        if mode == "1":
+            fallback = win_full
+        else:
+            def fallback(_):
+                total = jnp.sum(count_all.astype(jnp.float32))
+                return jax.lax.cond(total <= TEX_WIN_AVG_BUDGET * ns,
+                                    win_full, xla_fallback, None)
 
     chain = fallback
     cap_round = SEG_PER_STEP if win_capable else 8

@@ -147,6 +147,55 @@ def windowed_prep(u, v, cov, *, th: int, tw: int, wrap: str):
     return xa, dy, fx, fy, y0, nwin
 
 
+def windowed_count(v, cov, *, th: int, wrap: str):
+    """Seam-aware per-segment window count — the adaptive routing
+    predicate, equal to :func:`windowed_prep`'s ``nwin`` (tested) but
+    computed WITHOUT the prep's [cap, K, S] occupancy reduce or
+    [cap, S, S] span matrix, because in adaptive mode this runs
+    UNCONDITIONALLY every frame while the prep runs only inside the
+    engaged branch (the first in-pipeline A/B measured the prep-as-
+    predicate at ~1.27 ms/frame on config4, docs/PERF.md round 5).
+
+    Mechanics: slab occupancy is packed into ceil(S/32) int32 bitmask
+    words with a lane-dim bitwise-or reduce ([cap, K] work); the minimal
+    circular span over occupied 8-row slabs is then 1 + (p(i) - i) mod S
+    minimized over occupied i, where p(i) — the previous occupied slab
+    strictly before i, circularly — comes from one cummax over the
+    doubled slab axis ([cap, 2S] work). Segments with no covered lane
+    return 0.
+    """
+    y = v * th - 0.5
+    y0f = jnp.floor(y)
+    if wrap == "repeat":
+        ya = jnp.mod(y0f.astype(jnp.int32), th)
+    else:
+        ya = jnp.clip(y0f.astype(jnp.int32), 0, th - 1)
+    s = th // WIN_STRIDE
+    slab = ya // WIN_STRIDE                             # [cap, K] in [0, s)
+    nw = -(-s // 32)
+    sidx = jnp.arange(s, dtype=jnp.int32)
+    words = []
+    for w in range(nw):
+        in_w = cov & (slab // 32 == w)
+        bits = jnp.where(in_w, jnp.int32(1) << (slab & 31), jnp.int32(0))
+        words.append(jax.lax.reduce(bits, jnp.int32(0),
+                                    jax.lax.bitwise_or, (1,)))
+    bits_words = jnp.stack(words, axis=1)               # [cap, nw]
+    occ = (bits_words[:, sidx // 32] >> (sidx & 31)) & 1  # [cap, S]
+    occ = occ.astype(bool)
+    # p(i): index of the previous occupied slab strictly before i,
+    # circular — last-occupied-position cummax over the doubled axis,
+    # shifted one right (exclusive), second copy taken.
+    occ2 = jnp.concatenate([occ, occ], axis=1)          # [cap, 2S]
+    j2 = jnp.arange(2 * s, dtype=jnp.int32)
+    incl = jax.lax.cummax(jnp.where(occ2, j2, -1), axis=1)
+    pexcl = jnp.pad(incl[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    p = jnp.mod(pexcl[:, s:], s)                        # [cap, S]
+    span = jnp.mod(p - sidx[None, :], s)
+    minspan = jnp.min(jnp.where(occ, span, s + 1), axis=1)
+    return jnp.where(jnp.any(cov, axis=1), minspan + 1, 0)
+
+
 def windowed_tables(data, wrap: str):
     """Per-channel [th + WINH, tw] f32 tables with WINH wrap-padded rows
     so window slices never wrap. data: [th, tw, c]."""

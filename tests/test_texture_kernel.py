@@ -17,7 +17,7 @@ import pytest
 from software_renderer_tpu.ops.texture import (
     Texture, sample_texture_planes, sample_texture_planes_compacted)
 from software_renderer_tpu.ops.texture_kernel import (
-    WIN_STRIDE, sample_segments_windowed, windowed_prep,
+    WIN_STRIDE, sample_segments_windowed, windowed_count, windowed_prep,
     windowed_supported, windowed_tables)
 
 # Lerp-of-exact-texels cross-compiler contraction class: texels in
@@ -167,6 +167,79 @@ def test_compacted_sampler_adaptive_mode():
                 np.testing.assert_allclose(np.asarray(g)[m],
                                            np.asarray(w_)[m], atol=ULP)
     finally:
+        tex_mod.TEX_WINDOWED, tex_mod.TEX_TABLE_PACK = old_win, old_pack
+
+
+def test_windowed_count_equals_prep_nwin():
+    """windowed_count (the cheap adaptive predicate: bitmask occupancy +
+    doubled-axis cummax) must equal windowed_prep's nwin exactly —
+    random UVs, seam straddles, sparse/empty coverage, both wrap modes,
+    and a tall non-multiple-of-32-slab texture (two bitmask words)."""
+    rng = np.random.default_rng(21)
+    for th in (256, 496):     # S = 32 (one word), S = 62 (two words)
+        for wrap in ("repeat", "clamp"):
+            v = jnp.asarray(np.concatenate([
+                rng.uniform(-0.5, 1.5, size=(6, 128)),       # random
+                rng.uniform(-0.02, 0.02, size=(2, 128)) % 1.0,  # seam
+                rng.uniform(0.3, 0.31, size=(2, 128)),       # tight
+            ]), jnp.float32)
+            cov = jnp.asarray(rng.random((10, 128)) < 0.6)
+            cov = cov.at[3].set(False)                       # empty seg
+            u = jnp.asarray(rng.uniform(0, 1, size=(10, 128)), jnp.float32)
+            _, _, _, _, _, want = windowed_prep(u, v, cov, th=th, tw=256,
+                                                wrap=wrap)
+            got = windowed_count(v, cov, th=th, wrap=wrap)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"th={th} wrap={wrap}")
+
+
+def test_windowed_full_coverage_fallback():
+    """When coverage exceeds the largest tier cap the chain's fallback
+    runs — with the kernel route enabled that fallback is the windowed
+    sampler over ALL segments (screen-filling textured surfaces are the
+    coherent content class; round 5). Full-coverage frames must be
+    value-equal to the XLA whole-frame path on every pixel, in forced
+    and adaptive modes, including the ns % SEG_PER_STEP != 0 padding
+    path (h*w/128 = 36 segments below)."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    from software_renderer_tpu.ops import texture_kernel as tk_mod
+    rng = np.random.default_rng(14)
+    h, w = 18, 256                       # ns = 36: not a multiple of 32
+    data = jnp.asarray(rng.random((256, 256, 3)), jnp.float32)
+    tex = Texture(data=data)
+    u = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0.40, 0.44, size=(h, w)), jnp.float32)
+    cov = jnp.ones((h, w), bool)         # full coverage -> fallback
+    want = sample_texture_planes(tex, u, v)
+    win_calls = []
+    orig = tk_mod.sample_segments_windowed
+
+    def spy(*a, **kw):
+        win_calls.append(1)
+        return orig(*a, **kw)
+
+    old_win, old_pack = tex_mod.TEX_WINDOWED, tex_mod.TEX_TABLE_PACK
+    tk_mod.sample_segments_windowed = spy
+    try:
+        tex_mod.TEX_TABLE_PACK = 1
+        for m in ("1", "adaptive"):
+            tex_mod.TEX_WINDOWED = m
+            got = sample_texture_planes_compacted(tex, u, v, cov)
+            for g, w_ in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                           atol=ULP, err_msg=f"mode={m}")
+        assert win_calls, "windowed fallback did not engage"
+        # incoherent UVs in adaptive mode must take the XLA fallback
+        # and still be exact
+        v_inc = jnp.asarray(rng.uniform(0, 1, size=(h, w)), jnp.float32)
+        tex_mod.TEX_WINDOWED = "adaptive"
+        got = sample_texture_planes_compacted(tex, u, v_inc, cov)
+        want_inc = sample_texture_planes(tex, u, v_inc)
+        for g, w_ in zip(got, want_inc):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       atol=ULP)
+    finally:
+        tk_mod.sample_segments_windowed = orig
         tex_mod.TEX_WINDOWED, tex_mod.TEX_TABLE_PACK = old_win, old_pack
 
 

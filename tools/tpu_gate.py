@@ -128,6 +128,42 @@ def check_fe_kernel():
           flush=True)
 
 
+def check_texture_knobs():
+    """Texture-route variants on the REAL chip: the pack-16 select tree,
+    the forced Mosaic windowed sampler, and the adaptive lax.cond route
+    each lower differently (interpret-mode bit-equality says nothing
+    about Mosaic/XLA:TPU lowering — the gate's whole point; these three
+    had never run on hardware before round 5). The Texture is built at
+    default pack, so the pack-16 leg also exercises the in-graph
+    packed-table build."""
+    from software_renderer_tpu.ops import texture as tex_mod
+    rp = scenes.config2_textured_cube(0.7)
+    fb_ref = jax.block_until_ready(sr.render(rp, backend="reference"))
+    c_ref = np.asarray(fb_ref.color)
+    d_ref = np.asarray(fb_ref.depth)
+    old_pack, old_win = tex_mod.TEX_TABLE_PACK, tex_mod.TEX_WINDOWED
+    try:
+        for label, pack, win in (("pack16", 16, "0"),
+                                 ("windowed", 1, "1"),
+                                 ("adaptive", 1, "adaptive")):
+            tex_mod.TEX_TABLE_PACK, tex_mod.TEX_WINDOWED = pack, win
+            fb = jax.block_until_ready(sr.render(rp, backend="binned"))
+            c, d = np.asarray(fb.color), np.asarray(fb.depth)
+            np.testing.assert_array_equal(
+                c[..., 3], c_ref[..., 3],
+                err_msg=f"tex-{label}: coverage mismatch")
+            np.testing.assert_array_equal(
+                d, d_ref, err_msg=f"tex-{label}: depth mismatch")
+            bad = ~np.isclose(c, c_ref, atol=1e-3)
+            assert bad.mean() < 1e-3, (
+                f"tex-{label}: {bad.sum()} color values off "
+                f"(max d={np.abs(c - c_ref).max():.2e})")
+            print(f"  texture knob {label:>8}: coverage+depth exact, "
+                  f"color max d {np.abs(c - c_ref).max():.2e}", flush=True)
+    finally:
+        tex_mod.TEX_TABLE_PACK, tex_mod.TEX_WINDOWED = old_pack, old_win
+
+
 def main():
     write_golden = "--write-golden" in sys.argv
     dev = jax.devices()[0]
@@ -144,6 +180,7 @@ def main():
     check_fe_kernel()
     check("config1 cube", scenes.config1_flat_cube(0.5))
     check("config2 textured", scenes.config2_textured_cube(0.7))
+    check_texture_knobs()
     check("config3 teapot", scenes.config3_phong_mesh(0.3), atol=4e-3)
     check("overflow seeded", overflow_scene())
     check("clip straddling", _clip_scene(), backends=("binned",))
