@@ -58,6 +58,8 @@ class Texture:
     """
 
     data: jax.Array
+    # "nearest" | "bilinear" | "trilinear" (mipmapped — an extension past
+    # the reference's feature set; see the mipmap section below).
     filter: str = dataclasses.field(default="bilinear",
                                     metadata=dict(static=True))
     wrap: str = dataclasses.field(default="repeat",
@@ -81,6 +83,14 @@ class Texture:
                 self.table = (_quad_table_build(self) if pack == 1 else
                               _packed_quad_table_build(self, pack))
             self.table_pack = pack
+        elif (self.table is None and self.filter == "trilinear"
+                and not isinstance(self.data, jax.core.Tracer)):
+            # The packed mip pyramid (level-0 quad table first — a
+            # strict superset of the bilinear pack-1 table, see the
+            # mipmap section). Packs don't apply to the pyramid.
+            with jax.ensure_compile_time_eval():
+                self.table = _mip_table_build(self)
+            self.table_pack = 1
 
 
 def _wrap_coords(i, n, mode):
@@ -108,8 +118,11 @@ def _quad_table(tex: Texture):
 
 
 def _quad_table_build(tex: Texture):
-    d = tex.data
-    if tex.wrap == "repeat":
+    return _quad_table_from(tex.data, tex.wrap, tex.table_dtype)
+
+
+def _quad_table_from(d, wrap: str, table_dtype):
+    if wrap == "repeat":
         dx = jnp.roll(d, -1, axis=1)
         dy = jnp.roll(d, -1, axis=0)
         dxy = jnp.roll(dx, -1, axis=0)
@@ -119,7 +132,7 @@ def _quad_table_build(tex: Texture):
         dxy = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
     th, tw, c = d.shape
     quad = jnp.concatenate([d, dx, dy, dxy], axis=-1)  # [Th, Tw, 4C]
-    return quad.reshape(th * tw, 4 * c).astype(tex.table_dtype)
+    return quad.reshape(th * tw, 4 * c).astype(table_dtype)
 
 
 def sample_texture_planes(tex: Texture, u, v):
@@ -134,6 +147,8 @@ def sample_texture_planes(tex: Texture, u, v):
     """
     th, tw = tex.data.shape[0], tex.data.shape[1]
     c = tex.data.shape[2]
+    if tex.filter == "trilinear":
+        return sample_texture_planes_trilinear(tex, u, v)
     u = u * tw
     v = v * th
     if tex.filter == "nearest":
@@ -175,6 +190,140 @@ def sample_texture_planes(tex: Texture, u, v):
         bot = t10 + (t11 - t10) * fx
         out.append(top + (bot - top) * fy)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mipmapped (trilinear) filtering — an opt-in extension past the
+# reference (which has no texturing at all; UVs are loaded then dropped,
+# App.swift:129-133) and past the north star's bilinear. TPU-shaped the
+# same way as bilinear: the WHOLE mip pyramid is one packed pack-1 quad
+# table (level 0 first, so rows [0, Th*Tw) are exactly the bilinear
+# table and pack-1 consumers can use it unchanged); a trilinear sample
+# is TWO row gathers (floor/ceil level) + lerps, with the per-pixel
+# level folded into the row index — no per-level branching, static
+# shapes throughout.
+# ---------------------------------------------------------------------------
+
+def _num_mip_levels(th: int, tw: int) -> int:
+    """Levels in the chain: level 0 plus one per 2x box step while both
+    dims stay even (non-power-of-two textures stop early; odd-dim
+    textures have 1 level and trilinear degenerates to bilinear)."""
+    n = 1
+    while th % 2 == 0 and tw % 2 == 0 and min(th, tw) > 1:
+        th //= 2
+        tw //= 2
+        n += 1
+    return n
+
+
+def _mip_offsets(th: int, tw: int, n: int):
+    """Static row offset of each level's quad table in the packed pyramid."""
+    offs = [0]
+    for lev in range(1, n):
+        offs.append(offs[-1] + (th >> (lev - 1)) * (tw >> (lev - 1)))
+    return offs
+
+
+def _mip_chain(data):
+    """[level0=data, level1, ...] by exact 2x2 box averaging (the
+    canonical mip construction). Differentiable — texture training
+    through a trilinear sampler spreads gradients across the pyramid."""
+    levels = [data]
+    d = data
+    while (d.shape[0] % 2 == 0 and d.shape[1] % 2 == 0
+           and min(d.shape[0], d.shape[1]) > 1):
+        d = 0.25 * (d[0::2, 0::2] + d[1::2, 0::2]
+                    + d[0::2, 1::2] + d[1::2, 1::2])
+        levels.append(d)
+    return levels
+
+
+def _mip_table_build(tex: Texture):
+    return jnp.concatenate(
+        [_quad_table_from(d, tex.wrap, tex.table_dtype)
+         for d in _mip_chain(tex.data)], axis=0)
+
+
+def _mip_table(tex: Texture):
+    th, tw = tex.data.shape[0], tex.data.shape[1]
+    n = _num_mip_levels(th, tw)
+    rows = _mip_offsets(th, tw, n)[-1] + (th >> (n - 1)) * (tw >> (n - 1))
+    if (tex.table is not None and tex.table_pack == 1
+            and tex.table.shape[0] == rows):
+        return tex.table
+    return _mip_table_build(tex)
+
+
+def screen_lod(u, v, th: int, tw: int):
+    """Per-pixel mip level from screen-space finite differences of the
+    [H, W] uv planes — the quad-derivative LOD every GPU rasterizer
+    uses, computed as forward differences with edge replication. Returns
+    log2 of the max texel-space footprint (unclamped; the sampler
+    clamps). Caveats shared with hardware ddx/ddy: differences straddle
+    triangle boundaries, and value-wrapping UVs (repeat seams where u
+    jumps 1->0) read as huge footprints at the seam column."""
+    def fdiff(a, axis):
+        d = jnp.diff(a, axis=axis)
+        edge = d[:, -1:] if axis == 1 else d[-1:, :]
+        return jnp.concatenate([d, edge], axis=axis)
+
+    rx2 = (fdiff(u, 1) * tw) ** 2 + (fdiff(v, 1) * th) ** 2
+    ry2 = (fdiff(u, 0) * tw) ** 2 + (fdiff(v, 0) * th) ** 2
+    rho2 = jnp.maximum(jnp.maximum(rx2, ry2), 2.0 ** -64)
+    return 0.5 * jnp.log2(rho2)
+
+
+def sample_texture_planes_trilinear(tex: Texture, u, v, lod=None):
+    """Trilinear sample of the [H, W] uv planes; returns C [H, W] planes.
+
+    lod: optional explicit per-pixel mip level (any shape broadcastable
+    to u); default derives :func:`screen_lod` from the planes. At an
+    exactly-integer lod k the result is bit-equal to bilinear-sampling
+    mip level k directly (the level-blend lerp is ``a + (b-a)*0``).
+    """
+    th, tw, c = tex.data.shape
+    n = _num_mip_levels(th, tw)
+    if lod is None:
+        lod = screen_lod(u, v, th, tw)
+    lod = jnp.clip(jnp.broadcast_to(lod, u.shape), 0.0, float(n - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    lf = lod - l0.astype(jnp.float32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    table = _mip_table(tex)
+    offs = jnp.asarray(_mip_offsets(th, tw, n), jnp.int32)
+
+    def level(lev):
+        tw_l = jnp.right_shift(tw, lev)
+        th_l = jnp.right_shift(th, lev)
+        x = u * tw_l.astype(jnp.float32) - 0.5
+        y = v * th_l.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        xi = x0.astype(jnp.int32)
+        yi = y0.astype(jnp.int32)
+        if tex.wrap == "repeat":
+            xa = jnp.mod(xi, tw_l)
+            ya = jnp.mod(yi, th_l)
+        else:
+            xa = jnp.clip(xi, 0, tw_l - 1)
+            ya = jnp.clip(yi, 0, th_l - 1)
+        quad = table[offs[lev] + ya * tw_l + xa].astype(jnp.float32)
+        out = []
+        for i in range(c):
+            t00 = quad[..., i]
+            t01 = quad[..., c + i]
+            t10 = quad[..., 2 * c + i]
+            t11 = quad[..., 3 * c + i]
+            top = t00 + (t01 - t00) * fx
+            bot = t10 + (t11 - t10) * fx
+            out.append(top + (bot - top) * fy)
+        return out
+
+    lo = level(l0)
+    hi = level(l1)
+    return [a + (b - a) * lf for a, b in zip(lo, hi)]
 
 
 # Width of the row segments the compacted sampler works on. 128 keeps
@@ -676,6 +825,15 @@ def sample_texture(tex: Texture, uv):
     """
     th, tw = tex.data.shape[0], tex.data.shape[1]
     c = tex.data.shape[2]
+    if tex.filter == "trilinear":
+        if uv.ndim != 3:
+            raise ValueError(
+                "trilinear sampling needs [H, W, 2] uv grids (screen-"
+                "space LOD comes from finite differences of the planes);"
+                " use sample_texture_planes_trilinear with an explicit"
+                " lod for arbitrary uv lists")
+        out = sample_texture_planes_trilinear(tex, uv[..., 0], uv[..., 1])
+        return jnp.stack(out, axis=-1)
     u = uv[..., 0] * tw
     v = uv[..., 1] * th
     if tex.filter == "nearest":

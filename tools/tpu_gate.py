@@ -163,6 +163,28 @@ def check_texture_knobs():
     finally:
         tex_mod.TEX_TABLE_PACK, tex_mod.TEX_WINDOWED = old_pack, old_win
 
+    # Mipmapped trilinear (round 5, opt-in): binned-vs-reference with the
+    # SAME trilinear texture — covers the packed-pyramid double gather +
+    # per-pixel level indexing on real XLA:TPU lowering.
+    import dataclasses as _dc
+    tri = tex_mod.Texture(data=rp.texture.data, filter="trilinear",
+                          wrap=rp.texture.wrap)
+    rp_tri = _dc.replace(rp, texture=tri)
+    fb_r = jax.block_until_ready(sr.render(rp_tri, backend="reference"))
+    fb_b = jax.block_until_ready(sr.render(rp_tri, backend="binned"))
+    cr, cb = np.asarray(fb_r.color), np.asarray(fb_b.color)
+    np.testing.assert_array_equal(cb[..., 3], cr[..., 3],
+                                  err_msg="tex-trilinear: coverage mismatch")
+    np.testing.assert_array_equal(np.asarray(fb_b.depth),
+                                  np.asarray(fb_r.depth),
+                                  err_msg="tex-trilinear: depth mismatch")
+    bad = ~np.isclose(cb, cr, atol=2e-3)
+    assert bad.mean() < 1e-3, (
+        f"tex-trilinear: {bad.sum()} color values off "
+        f"(max d={np.abs(cb - cr).max():.2e})")
+    print(f"  texture knob trilinear: coverage+depth exact, "
+          f"color max d {np.abs(cb - cr).max():.2e}", flush=True)
+
 
 def main():
     write_golden = "--write-golden" in sys.argv
