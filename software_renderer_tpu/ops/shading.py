@@ -312,7 +312,8 @@ def finish_fused(out_cf, covered, *, out_chans,
     elementwise op into a padded relayout.
     """
     from .texture import (COMPACT_SEG, sample_texture_planes,
-                          sample_texture_planes_compacted)
+                          sample_texture_planes_compacted,
+                          sample_texture_planes_trilinear_compacted)
 
     names = {n for n, _ in out_chans}
     planes = [out_cf[c] for c in range(out_cf.shape[0])]
@@ -328,6 +329,13 @@ def finish_fused(out_cf, covered, *, out_chans,
             # pixels; bit-equal, whole-frame fallback when coverage
             # exceeds the compaction cap).
             tex = sample_texture_planes_compacted(texture, u, v, covered)
+        elif (texture.filter == "trilinear" and u.ndim == 2
+                and u.shape[1] % COMPACT_SEG == 0):
+            # Same compaction for the mipmapped sampler: footprint
+            # full-frame, log2 + both level gathers at the tier cap
+            # (bit-equal per covered pixel; measured in docs/PERF.md r5).
+            tex = sample_texture_planes_trilinear_compacted(
+                texture, u, v, covered)
         else:
             tex = sample_texture_planes(texture, u, v)
         if len(tex) == 1:  # single-channel texture broadcasts (as the

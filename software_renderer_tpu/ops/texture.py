@@ -254,6 +254,20 @@ def _mip_table(tex: Texture):
     return _mip_table_build(tex)
 
 
+def _lod_rho2(u, v, th: int, tw: int):
+    """Squared max texel-space footprint per pixel (pure elementwise —
+    the transcendental ``log2`` is the caller's, so the compacted route
+    can defer it to compacted space)."""
+    def fdiff(a, axis):
+        d = jnp.diff(a, axis=axis)
+        edge = d[:, -1:] if axis == 1 else d[-1:, :]
+        return jnp.concatenate([d, edge], axis=axis)
+
+    rx2 = (fdiff(u, 1) * tw) ** 2 + (fdiff(v, 1) * th) ** 2
+    ry2 = (fdiff(u, 0) * tw) ** 2 + (fdiff(v, 0) * th) ** 2
+    return jnp.maximum(jnp.maximum(rx2, ry2), 2.0 ** -64)
+
+
 def screen_lod(u, v, th: int, tw: int):
     """Per-pixel mip level from screen-space finite differences of the
     [H, W] uv planes — the quad-derivative LOD every GPU rasterizer
@@ -262,15 +276,50 @@ def screen_lod(u, v, th: int, tw: int):
     clamps). Caveats shared with hardware ddx/ddy: differences straddle
     triangle boundaries, and value-wrapping UVs (repeat seams where u
     jumps 1->0) read as huge footprints at the seam column."""
-    def fdiff(a, axis):
-        d = jnp.diff(a, axis=axis)
-        edge = d[:, -1:] if axis == 1 else d[-1:, :]
-        return jnp.concatenate([d, edge], axis=axis)
+    return 0.5 * jnp.log2(_lod_rho2(u, v, th, tw))
 
-    rx2 = (fdiff(u, 1) * tw) ** 2 + (fdiff(v, 1) * th) ** 2
-    ry2 = (fdiff(u, 0) * tw) ** 2 + (fdiff(v, 0) * th) ** 2
-    rho2 = jnp.maximum(jnp.maximum(rx2, ry2), 2.0 ** -64)
-    return 0.5 * jnp.log2(rho2)
+
+def _tri_level_sample(table, offs, tex_c: int, th: int, tw: int, wrap: str,
+                      u, v, lev, split: int = 1):
+    """Bilinear sample of mip level ``lev`` (per-pixel int32) from the
+    packed pyramid ``table``: one row gather with the level folded into
+    the row index. Returns C channel arrays shaped like u. ``split``
+    partitions the gather's leading axis into independent issues
+    (bit-equal — see TEX_GATHER_SPLIT)."""
+    tw_l = jnp.right_shift(tw, lev)
+    th_l = jnp.right_shift(th, lev)
+    x = u * tw_l.astype(jnp.float32) - 0.5
+    y = v * th_l.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    if wrap == "repeat":
+        xa = jnp.mod(xi, tw_l)
+        ya = jnp.mod(yi, th_l)
+    else:
+        xa = jnp.clip(xi, 0, tw_l - 1)
+        ya = jnp.clip(yi, 0, th_l - 1)
+    ci = offs[lev] + ya * tw_l + xa
+    lead = ci.shape[0]
+    if split > 1 and lead % split == 0:
+        quad = jnp.concatenate(
+            [table[ci[j * (lead // split):(j + 1) * (lead // split)]]
+             for j in range(split)], axis=0).astype(jnp.float32)
+    else:
+        quad = table[ci].astype(jnp.float32)
+    out = []
+    for i in range(tex_c):
+        t00 = quad[..., i]
+        t01 = quad[..., tex_c + i]
+        t10 = quad[..., 2 * tex_c + i]
+        t11 = quad[..., 3 * tex_c + i]
+        top = t00 + (t01 - t00) * fx
+        bot = t10 + (t11 - t10) * fx
+        out.append(top + (bot - top) * fy)
+    return out
 
 
 def sample_texture_planes_trilinear(tex: Texture, u, v, lod=None):
@@ -291,38 +340,8 @@ def sample_texture_planes_trilinear(tex: Texture, u, v, lod=None):
     l1 = jnp.minimum(l0 + 1, n - 1)
     table = _mip_table(tex)
     offs = jnp.asarray(_mip_offsets(th, tw, n), jnp.int32)
-
-    def level(lev):
-        tw_l = jnp.right_shift(tw, lev)
-        th_l = jnp.right_shift(th, lev)
-        x = u * tw_l.astype(jnp.float32) - 0.5
-        y = v * th_l.astype(jnp.float32) - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        xi = x0.astype(jnp.int32)
-        yi = y0.astype(jnp.int32)
-        if tex.wrap == "repeat":
-            xa = jnp.mod(xi, tw_l)
-            ya = jnp.mod(yi, th_l)
-        else:
-            xa = jnp.clip(xi, 0, tw_l - 1)
-            ya = jnp.clip(yi, 0, th_l - 1)
-        quad = table[offs[lev] + ya * tw_l + xa].astype(jnp.float32)
-        out = []
-        for i in range(c):
-            t00 = quad[..., i]
-            t01 = quad[..., c + i]
-            t10 = quad[..., 2 * c + i]
-            t11 = quad[..., 3 * c + i]
-            top = t00 + (t01 - t00) * fx
-            bot = t10 + (t11 - t10) * fx
-            out.append(top + (bot - top) * fy)
-        return out
-
-    lo = level(l0)
-    hi = level(l1)
+    lo = _tri_level_sample(table, offs, c, th, tw, tex.wrap, u, v, l0)
+    hi = _tri_level_sample(table, offs, c, th, tw, tex.wrap, u, v, l1)
     return [a + (b - a) * lf for a, b in zip(lo, hi)]
 
 
@@ -816,6 +835,82 @@ def sample_texture_planes_compacted(tex: Texture, u, v, covered,
 
         chain = level
     return list(chain(None))
+
+
+def sample_texture_planes_trilinear_compacted(tex: Texture, u, v, covered,
+                                              cap_fracs=TEX_CAP_LADDER):
+    """Compacted trilinear: the bilinear tier chain's covered-row-segment
+    compaction applied to the mipmapped sampler. The squared footprint
+    (:func:`_lod_rho2`) is computed full-frame (neighbor differences
+    need the planes; pure elementwise), everything transcendental
+    (``log2``) and both mixed-level row gathers run in COMPACTED space
+    at the engaged tier's static cap. Per covered pixel the result
+    equals :func:`sample_texture_planes_trilinear` within the FMA-
+    contraction ulp class (same gather rows and expressions on the same
+    values; XLA contracts the lerps into FMAs differently per fusion
+    context — observed max 1 ulp on CPU, tests/test_mipmap.py). Frames
+    over the top tier fall back to the plain sampler.
+
+    u, v, covered: [H, W] planes, W a multiple of COMPACT_SEG.
+    Returns C planes [H, W]; uncovered pixels hold finite garbage the
+    caller's covered-mask zeroes out.
+    """
+    th, tw, c = tex.data.shape
+    h, w = u.shape
+    k = COMPACT_SEG
+    ns = h * w // k
+    n = _num_mip_levels(th, tw)
+    table = _mip_table(tex)
+    offs = jnp.asarray(_mip_offsets(th, tw, n), jnp.int32)
+    rho2 = _lod_rho2(u, v, th, tw)
+
+    cov_s = covered.reshape(ns, k)
+    scov = jnp.any(cov_s, axis=1)
+    lc, off, slot, n_cov = _segment_ranks(scov)
+    u_s = u.reshape(ns, k)
+    v_s = v.reshape(ns, k)
+    r_s = rho2.reshape(ns, k)
+
+    def tier(cap: int):
+        def run(_):
+            comp_seg = _comp_seg_for_cap(lc, off, cap, ns)
+            sloti = jnp.clip(slot, 0.0, cap - 1).astype(jnp.int32)
+            cu = u_s[comp_seg]                      # [cap, K]
+            cv = v_s[comp_seg]
+            lod = jnp.clip(0.5 * jnp.log2(r_s[comp_seg]), 0.0,
+                           float(n - 1))
+            l0 = jnp.floor(lod).astype(jnp.int32)
+            lf = lod - l0.astype(jnp.float32)
+            l1 = jnp.minimum(l0 + 1, n - 1)
+            s = TEX_GATHER_SPLIT
+            lo = _tri_level_sample(table, offs, c, th, tw, tex.wrap,
+                                   cu, cv, l0, split=s)
+            hi = _tri_level_sample(table, offs, c, th, tw, tex.wrap,
+                                   cu, cv, l1, split=s)
+            chans = [a + (b - a) * lf for a, b in zip(lo, hi)]
+            comp = jnp.concatenate(chans, axis=1)   # [cap, C*K]
+            full = comp[sloti]                      # [Ns, C*K]
+            return [full[:, i * k:(i + 1) * k].reshape(h, w)
+                    for i in range(c)]
+
+        return run
+
+    def fallback(_):
+        # Same lod expression as the tiers (footprint already computed).
+        lod = 0.5 * jnp.log2(rho2)
+        return sample_texture_planes_trilinear(tex, u, v, lod=lod)
+
+    chain = fallback
+    for frac in sorted(cap_fracs, reverse=True):
+        cap = -(-int(frac * ns) // 8) * 8
+        inner = chain
+
+        def level(_, cap=cap, inner=inner):
+            return jax.lax.cond(n_cov <= cap, tier(cap), inner, None)
+
+        chain = level
+    return list(chain(None))
+
 
 
 def sample_texture(tex: Texture, uv):

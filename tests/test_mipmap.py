@@ -25,8 +25,9 @@ import numpy as np
 import pytest
 
 from software_renderer_tpu.ops.texture import (
-    Texture, _mip_chain, _num_mip_levels, sample_texture_planes,
-    sample_texture_planes_trilinear, screen_lod)
+    Texture, _lod_rho2, _mip_chain, _num_mip_levels, sample_texture_planes,
+    sample_texture_planes_trilinear, sample_texture_planes_trilinear_compacted,
+    screen_lod)
 
 
 def _rng(seed=0):
@@ -159,6 +160,42 @@ def test_precomputed_pyramid_matches_ingraph_build():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.parametrize("coverage", ["partial", "full"])
+def test_compacted_trilinear_equals_plain(coverage):
+    """The compacted tier chain (engaged tier AND the over-top-tier
+    fallback) equals the plain trilinear sampler per covered pixel.
+
+    Same gather rows, same log2/lerp expressions on the same values —
+    but XLA contracts the lerp's mul+add into FMAs differently per
+    fusion context (the compacted expressions sit behind gathers), so
+    the CPU assertion is the repo's documented contraction class: ~1 ulp
+    (observed max 6e-8 at values ~0.5; same class as the FE kernel's
+    CPU check, tests/test_frontend.py). The fused path routes trilinear
+    through this (ops/shading.py finish_fused)."""
+    rng = _rng(7)
+    data = jnp.asarray(rng.random((64, 64, 3), dtype=np.float32))
+    tex = Texture(data=data, filter="trilinear")
+    h, w = 16, 256  # ns = 32 segments of 128
+    # Magnification varies per row so the lod spans several levels.
+    scale = (1.0 + np.arange(h, dtype=np.float32))[:, None] / 2.0
+    xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+    ys = (np.arange(h, dtype=np.float32)[:, None] + 0.5) / h
+    u = jnp.asarray(np.broadcast_to(xs, (h, w)) * scale)
+    v = jnp.asarray(np.broadcast_to(ys, (h, w)) * (0.5 + scale / 3.0))
+    if coverage == "partial":
+        cov = rng.random((h, w)) < 0.3
+        cov[:6] = False  # some fully-uncovered segments
+    else:
+        cov = np.ones((h, w), bool)  # n_cov over the top tier -> fallback
+    covered = jnp.asarray(cov)
+    got = sample_texture_planes_trilinear_compacted(tex, u, v, covered)
+    want = sample_texture_planes_trilinear(tex, u, v)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[cov],
+                                   np.asarray(w_)[cov],
+                                   rtol=0, atol=2e-7)
+
+
 def test_render_end_to_end_trilinear():
     """The render path routes trilinear through the plain planar sampler
     (the compacted fast path stays bilinear-only): a minified textured
@@ -167,7 +204,9 @@ def test_render_end_to_end_trilinear():
     import software_renderer_tpu as sr
     from software_renderer_tpu.models import scenes
 
-    rp = scenes.config2_textured_cube(0.4, width=64, height=64)
+    # width 128 = one COMPACT_SEG: the binned render exercises the
+    # compacted trilinear route in finish_fused.
+    rp = scenes.config2_textured_cube(0.4, width=128, height=64)
     tri_tex = Texture(data=rp.texture.data, filter="trilinear",
                       wrap=rp.texture.wrap)
     rp = dataclasses.replace(rp, texture=tri_tex)
