@@ -230,9 +230,13 @@ def test_compacted_sampler_engages():
     # quad route: compacted tier gathers once + the 'want' recompute;
     # dense fallback also gathers once (+ the 'want').
     assert sparse_q == (0, 2) and dense_q == (0, 2)
-    # windowed route: sparse takes the kernel (quad only for 'want');
-    # dense exceeds every rounded cap -> full-frame quad fallback.
-    assert sparse_w == (1, 1) and dense_w == (0, 2)
+    # windowed route (forced, mode "1"): sparse takes the kernel at the
+    # engaged tier; dense exceeds every rounded cap and takes the
+    # FULL-COVERAGE windowed fallback (round 5: forcing the kernel means
+    # over-cap frames walk all segments directly — the XLA row gather is
+    # skipped entirely; ops/texture.py win_full). The quad table is
+    # built only for the test's 'want' recompute in both cases.
+    assert sparse_w == (1, 1) and dense_w == (1, 1)
 
 
 def test_pack_variants_bit_equal():
